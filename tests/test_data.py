@@ -1,0 +1,239 @@
+"""Data-layer tests on synthetic fixtures.
+
+The key test validates the feature-bank + device-gather restructuring against
+a direct per-window oracle that follows the reference pipeline order exactly
+(slice-or-pad each modality -> compute deltas on the window -> z-score ->
+concat), including edge cases: window start 0, tail padding, keypoint arrays
+shorter than mesh arrays, and short videos.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from video_gen_evals_tpu.data import (
+    ModalityPaths,
+    PKBatchSampler,
+    build_feature_bank,
+    compute_stats,
+    enumerate_windows,
+    gather_windows,
+    scan_class_tree,
+    slice_or_pad,
+    train_test_split,
+)
+from video_gen_evals_tpu.data.features import load_video_arrays, _NORM_EPS
+from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+from video_gen_evals_tpu.ops import (
+    vit_delta,
+    betas_delta,
+    procrustes_kp_delta,
+)
+from video_gen_evals_tpu.ops.so3 import rotmat_delta
+
+CLASSES = ["JumpingJack", "PushUps"]
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fixture")
+    mesh_root, kp_root = make_fixture_tree(
+        str(root), CLASSES, videos_per_class=3, frames=(40, 37, 25), kp_shorter_by=5
+    )
+    return mesh_root, kp_root
+
+
+@pytest.fixture(scope="module")
+def pipeline(tree):
+    mesh_root, kp_root = tree
+    manifest = scan_class_tree(mesh_root)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    stats = compute_stats(manifest.items, paths)
+    bank = build_feature_bank(manifest.items, paths, stats)
+    return manifest, paths, stats, bank
+
+
+def test_scan(tree):
+    mesh_root, _ = tree
+    manifest = scan_class_tree(mesh_root)
+    assert len(manifest) == 6
+    assert manifest.classes == sorted(CLASSES)
+    assert all(it.vit_dim == 64 for it in manifest.items)
+
+
+def test_class_filter(tree):
+    mesh_root, _ = tree
+    m = scan_class_tree(mesh_root, filter_classes=["PushUps"])
+    assert len(m) == 3 and m.classes == ["PushUps"]
+
+
+def test_split_deterministic_and_nonempty(tree):
+    mesh_root, _ = tree
+    manifest = scan_class_tree(mesh_root)
+    tr1, te1 = train_test_split(manifest, 0.8, seed=1337)
+    tr2, te2 = train_test_split(manifest, 0.8, seed=1337)
+    assert [i.name for i in tr1.items] == [i.name for i in tr2.items]
+    for cls in CLASSES:
+        assert any(i.cls == cls for i in tr1.items)
+        assert any(i.cls == cls for i in te1.items)
+
+
+def test_enumerate_windows_semantics(tree):
+    mesh_root, _ = tree
+    manifest = scan_class_tree(mesh_root)
+    wins = enumerate_windows(manifest, clip_len=32, stride=8)
+    by_video = {}
+    for vi, s in wins:
+        by_video.setdefault(vi, []).append(s)
+    for vi, starts in by_video.items():
+        L = manifest.items[vi].length
+        if L < 32:
+            assert starts == [0]
+        else:
+            assert starts == list(range(0, L - 32 + 1, 8))
+
+
+def test_slice_or_pad_rules(rng):
+    arr = rng.normal(size=(10, 4)).astype(np.float32)
+    # in range
+    np.testing.assert_array_equal(slice_or_pad(arr, 2, 5), arr[2:7])
+    # tail pad
+    w = slice_or_pad(arr, 7, 5)
+    np.testing.assert_array_equal(w[:3], arr[7:])
+    np.testing.assert_array_equal(w[3:], np.repeat(arr[-1:], 2, axis=0))
+    # start beyond end
+    np.testing.assert_array_equal(
+        slice_or_pad(arr, 15, 4), np.repeat(arr[-1:], 4, axis=0)
+    )
+    # negative start
+    np.testing.assert_array_equal(
+        slice_or_pad(arr, -3, 4), np.repeat(arr[:1], 4, axis=0)
+    )
+
+
+def _oracle_window(item, paths, stats, start, clip_len):
+    """Reference-order per-window computation: slice-or-pad raw arrays, THEN
+    deltas on the window, THEN z-score with (std + eps), THEN concat."""
+    arrays = load_video_arrays(item, paths, strict_kp=True)
+    mods = stats.modalities
+    raw_parts, diff_parts = [], []
+    for m in mods:
+        w = slice_or_pad(arrays[m], start, clip_len)
+        Tw = w.shape[0]
+        if m in ("vit", "clip", "dino"):
+            d = np.asarray(vit_delta(jnp.asarray(w)))
+        elif m in ("global", "pose"):
+            d = np.asarray(
+                rotmat_delta(jnp.asarray(w.reshape(Tw, -1, 3, 3)))
+            ).reshape(Tw, -1)
+        elif m == "beta":
+            d = np.asarray(betas_delta(jnp.asarray(w)))
+        elif m == "kp2d":
+            d = np.asarray(procrustes_kp_delta(jnp.asarray(w)))
+        raw_parts.append((w - stats.mean_raw[m]) / (stats.std_raw[m] + _NORM_EPS))
+        diff_parts.append((d - stats.mean_diff[m]) / (stats.std_diff[m] + _NORM_EPS))
+    return np.concatenate(raw_parts + diff_parts, axis=1).astype(np.float32)
+
+
+def test_gather_matches_per_window_oracle(pipeline):
+    manifest, paths, stats, bank = pipeline
+    clip_len = 32
+    cases = []
+    for vi, it in enumerate(manifest.items):
+        L = it.length
+        starts = {0}
+        if L >= clip_len:
+            starts.add(L - clip_len)            # exact tail
+            starts.add(max(0, L - clip_len + 3))  # would-be overshoot is clipped
+        if L > clip_len + 5:
+            starts.add(5)                        # interior
+        # force crossing the (shorter) keypoint array's end
+        starts.add(max(0, L - clip_len))
+        cases.extend((vi, s) for s in sorted(starts))
+
+    video_idx = jnp.asarray(np.array([c[0] for c in cases], np.int32))
+    starts = jnp.asarray(np.array([c[1] for c in cases], np.int32))
+    out = np.asarray(
+        gather_windows(
+            jnp.asarray(bank.bank),
+            jnp.asarray(bank.offsets),
+            jnp.asarray(bank.heights),
+            jnp.asarray(bank.z0_diff),
+            bank.one_pass_raw,
+            video_idx,
+            starts,
+            clip_len,
+        )
+    )
+    for i, (vi, s) in enumerate(cases):
+        oracle = _oracle_window(manifest.items[vi], paths, stats, s, clip_len)
+        np.testing.assert_allclose(
+            out[i], oracle, atol=2e-5,
+            err_msg=f"video={manifest.items[vi].name} start={s}",
+        )
+
+
+def test_missing_keypoints_is_hard_error(tree, tmp_path):
+    mesh_root, _ = tree
+    manifest = scan_class_tree(mesh_root)
+    paths = ModalityPaths(keypoint_dir=str(tmp_path / "nope"), layout="real")
+    stats_paths = ModalityPaths(keypoint_dir=None)
+    stats = compute_stats(manifest.items, stats_paths)
+    with pytest.raises(FileNotFoundError):
+        build_feature_bank(manifest.items[:1], paths, stats, modalities=["vit", "kp2d"])
+
+
+def test_stats_constant_video(tmp_path):
+    """Constant frames -> raw std = sqrt(eps), diff mean ~ 0."""
+    import json
+    from video_gen_evals_tpu.data.manifest import VideoItem
+
+    Tlen = 20
+    one_pose = np.broadcast_to(np.eye(3, dtype=np.float32), (Tlen, 23, 3, 3))
+    path = str(tmp_path / "c" / "v.npz")
+    import os
+
+    os.makedirs(os.path.dirname(path))
+    np.savez(
+        path,
+        pose=one_pose,
+        betas=np.full((Tlen, 10), 2.0, np.float32),
+        global_orient=one_pose[:, :1],
+        vit=np.full((Tlen, 8), 3.0, np.float32),
+        frame_idx=np.arange(Tlen),
+        meta=json.dumps({}),
+    )
+    item = VideoItem(cls="c", name="v.npz", path=path, length=Tlen, vit_dim=8)
+    stats = compute_stats([item], ModalityPaths(keypoint_dir=None))
+    np.testing.assert_allclose(stats.mean_raw["beta"], 2.0, atol=1e-6)
+    np.testing.assert_allclose(stats.std_raw["beta"], np.sqrt(1e-6), rtol=1e-4)
+    np.testing.assert_allclose(stats.mean_diff["beta"], 0.0, atol=1e-6)
+
+
+def test_pk_sampler_balance():
+    labels = np.repeat(np.arange(4), [50, 30, 10, 5])
+    sampler = PKBatchSampler(labels, P=3, K=8, rng=np.random.default_rng(0))
+    batches = list(sampler)
+    assert len(batches) == len(labels) // 24 == len(sampler)
+    for b in batches:
+        assert len(b) == 24
+        ls, counts = np.unique(labels[b], return_counts=True)
+        assert len(ls) == 3
+        assert all(c == 8 for c in counts)
+
+
+def test_pk_sampler_replacement_topup():
+    labels = np.repeat(np.arange(3), [40, 40, 4])  # class 2 has < K items
+    sampler = PKBatchSampler(labels, P=3, K=8, rng=np.random.default_rng(1))
+    seen_cls2 = False
+    for b in sampler:
+        ls, counts = np.unique(labels[b], return_counts=True)
+        if 2 in ls:
+            seen_cls2 = True
+            assert counts[list(ls).index(2)] == 8  # topped up with replacement
+    assert seen_cls2
+
+
+def test_pk_sampler_p_exceeds_classes():
+    with pytest.raises(ValueError):
+        PKBatchSampler([0, 0, 1, 1], P=3, K=1)

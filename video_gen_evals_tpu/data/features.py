@@ -1,0 +1,303 @@
+"""Per-video feature banks and device-side window gather.
+
+This replaces the reference's per-window npz re-reading pipeline
+(``WindowDataset._try_one``, ref ``utils.py:345-523``) with a TPU-first design:
+
+1. **Precompute once per video** (host/accelerator, float32): raw features and
+   temporal-diff features for every modality, normalized with train stats.
+2. **Store as a bank**: one ``[L_bank + 1, D]`` matrix per video (sentinel row
+   at the bottom), concatenated across videos into a single ``[N, D]`` array.
+3. **Window assembly = one gather**: a window of ``clip_len`` frames starting
+   at ``s`` is ``bank[offset + min(s + i, L_bank)]`` with the diff block of
+   window row 0 overwritten by the normalized-zero vector.
+
+This is *exactly* equivalent to the reference's per-window computation
+(slice-or-pad -> deltas -> z-score -> concat, ref ``utils.py:366-514``):
+
+- within a window, deltas at rows ``i >= 1`` equal the full-video deltas at
+  ``s + i`` (all delta ops are consecutive-frame-local);
+- window row 0 always pairs with itself -> delta 0 -> normalized zero;
+- tail padding repeats the last frame -> deltas 0 in the pad region, which the
+  bank encodes by storing normalized-zero diff rows at ``t >= L_m`` (per
+  modality — keypoint arrays can be shorter than mesh arrays, the reference's
+  frame-misalignment quirk, ref ``process_video.py:86-91`` / SURVEY C28);
+- raw rows in the pad region repeat the last real row (edge padding).
+
+The gather runs on device over the whole window batch — windowing,
+normalization and corruption never touch the host after bank construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import typing as T
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.deltas import vit_delta, betas_delta
+from ..ops.so3 import rotmat_delta
+from ..ops.procrustes import procrustes_kp_delta
+
+if T.TYPE_CHECKING:  # avoid import cycle with stats.py
+    from .stats import ModalityStats
+
+# canonical modality order == concatenation order (ref train.py:29-48)
+_ORDER = ("vit", "global", "pose", "beta", "kp2d", "clip", "dino")
+
+_NORM_EPS = 1e-6  # eps added to std at normalization time (ref utils.py:473)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModalityPaths:
+    """Side-file locations for optional modalities.
+
+    ``layout``:
+      - ``"real"``      -> ``<dir>/<class>/<vid_stem>/<file>``
+      - ``"generated"`` -> ``<dir>/<vid_stem>/<file>``
+      - ``"auto"``      -> reference bug-compat: generated layout iff the
+        *keypoint* dir name contains ``SAVE_GEN`` / ``SAVE_NEW`` /
+        ``generated_kps`` (ref ``utils.py:411-414,429-432,443-446`` keys all
+        three side-modalities off the keypoint dir name).
+    """
+
+    keypoint_dir: T.Optional[str] = None
+    clip_dir: T.Optional[str] = None
+    dino_dir: T.Optional[str] = None
+    layout: str = "auto"
+
+    def _is_generated(self) -> bool:
+        if self.layout == "generated":
+            return True
+        if self.layout == "real":
+            return False
+        kd = str(self.keypoint_dir)
+        return any(tok in kd for tok in ("SAVE_GEN", "SAVE_NEW", "generated_kps"))
+
+    def resolve(self, base_dir: str, cls: str, vid_stem: str, fname: str) -> str:
+        if self._is_generated():
+            return os.path.join(base_dir, vid_stem, fname)
+        return os.path.join(base_dir, cls, vid_stem, fname)
+
+
+def load_video_arrays(
+    item, paths: ModalityPaths, strict_kp: bool = True
+) -> T.Dict[str, np.ndarray]:
+    """Load raw per-modality arrays for one video (float32, flattened):
+
+    ``vit [T,Dv]``, ``global [T,9]``, ``pose [T,9J]``, ``beta [T,10]``, and
+    optionally ``kp2d [T',120]``, ``clip [T'',512]``, ``dino [T'',768]``.
+
+    Missing keypoints with ``strict_kp`` raise (ref ``utils.py:416-417``);
+    clip/dino are skipped silently (ref ``utils.py:427-452``).
+    """
+    npz = np.load(item.path)
+    Tlen = npz["pose"].shape[0]
+    out: T.Dict[str, np.ndarray] = {
+        "vit": npz["vit"].astype(np.float32),
+        "global": npz["global_orient"].astype(np.float32).reshape(Tlen, -1),
+        "pose": npz["pose"].astype(np.float32).reshape(Tlen, -1),
+        "beta": npz["betas"].astype(np.float32),
+    }
+    vid_stem = os.path.splitext(os.path.basename(item.path))[0]
+
+    if paths.keypoint_dir is not None:
+        kp_path = paths.resolve(paths.keypoint_dir, item.cls, vid_stem, "keypoints.npy")
+        if not os.path.exists(kp_path):
+            if strict_kp:
+                raise FileNotFoundError(
+                    f"Expected keypoints at '{kp_path}' for video '{vid_stem}' "
+                    "but file does not exist."
+                )
+        else:
+            kp = np.load(kp_path).astype(np.float32)
+            if kp.ndim == 2 and kp.shape[0] > 0:
+                out["kp2d"] = kp
+            elif strict_kp:
+                raise ValueError(
+                    f"Keypoint file '{kp_path}' is empty or malformed: {kp.shape}"
+                )
+
+    for m, base, fname in (
+        ("clip", paths.clip_dir, "clip_embeddings.npz"),
+        ("dino", paths.dino_dir, "dino_embeddings.npz"),
+    ):
+        if base is None:
+            continue
+        p = paths.resolve(base, item.cls, vid_stem, fname)
+        try:
+            if os.path.exists(p):
+                out[m] = np.load(p)["embeddings"].astype(np.float32)
+        except Exception:
+            pass
+    return out
+
+
+def compute_modality_diffs(
+    arrays: T.Dict[str, np.ndarray]
+) -> T.Dict[str, np.ndarray]:
+    """Full-video diff features per modality (float32, same ops as windows)."""
+    diffs: T.Dict[str, np.ndarray] = {}
+    for m, X in arrays.items():
+        Tlen = X.shape[0]
+        if m in ("vit", "clip", "dino"):
+            d = vit_delta(jnp.asarray(X))
+        elif m in ("global", "pose"):
+            R = X.reshape(Tlen, -1, 3, 3)
+            d = rotmat_delta(jnp.asarray(R)).reshape(Tlen, -1)
+        elif m == "beta":
+            d = betas_delta(jnp.asarray(X))
+        elif m == "kp2d":
+            d = procrustes_kp_delta(jnp.asarray(X))
+        else:
+            raise KeyError(m)
+        diffs[m] = np.asarray(d, dtype=np.float32)
+    return diffs
+
+
+@dataclasses.dataclass
+class VideoFeatures:
+    """Normalized per-video feature bank ``[L_bank + 1, D]`` (sentinel row)."""
+
+    bank: np.ndarray       # [L_bank + 1, D] float32, normalized
+    height: int            # L_bank (sentinel lives at row L_bank)
+    cls: str
+    name: str
+
+
+def _normalize(X: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
+    return (X - mean[None, :]) / (std[None, :] + _NORM_EPS)
+
+
+def compute_video_features(
+    item,
+    paths: ModalityPaths,
+    stats: "ModalityStats",
+    modalities: T.Optional[T.Sequence[str]] = None,
+) -> VideoFeatures:
+    """Build the normalized bank for one video.
+
+    ``modalities`` defaults to the stats' available modalities; every listed
+    modality must be loadable for this video (a clear error replaces the
+    reference's shape-mismatch crash at collate time).
+    """
+    arrays = load_video_arrays(item, paths, strict_kp=True)
+    diffs = compute_modality_diffs(arrays)
+    mods = list(modalities) if modalities is not None else stats.modalities
+    missing = [m for m in mods if m not in arrays]
+    if missing:
+        raise FileNotFoundError(
+            f"video '{item.name}': missing modalities {missing} "
+            f"(available: {sorted(arrays)})"
+        )
+
+    height = max(arrays[m].shape[0] for m in mods)
+    raw_blocks: T.List[np.ndarray] = []
+    diff_blocks: T.List[np.ndarray] = []
+    for m in mods:
+        raw = _normalize(arrays[m], stats.mean_raw[m], stats.std_raw[m])
+        diff = _normalize(diffs[m], stats.mean_diff[m], stats.std_diff[m])
+        z0 = _normalize(
+            np.zeros((1, diff.shape[1]), np.float32),
+            stats.mean_diff[m],
+            stats.std_diff[m],
+        )
+        L_m = raw.shape[0]
+        pad = height + 1 - L_m
+        # raw: edge-pad with the last real row (incl. sentinel row)
+        raw_full = np.concatenate([raw, np.repeat(raw[-1:], pad, axis=0)], axis=0)
+        # diff: rows >= L_m are normalized-zero (self-paired pad frames)
+        diff_full = np.concatenate([diff, np.repeat(z0, pad, axis=0)], axis=0)
+        raw_blocks.append(raw_full)
+        diff_blocks.append(diff_full)
+
+    bank = np.concatenate(raw_blocks + diff_blocks, axis=1).astype(np.float32)
+    return VideoFeatures(bank=bank, height=height, cls=item.cls, name=item.name)
+
+
+@dataclasses.dataclass
+class FeatureBank:
+    """Concatenated per-video banks plus gather metadata.
+
+    ``bank``    : [N, D] float32 (normalized features, sentinel rows included)
+    ``offsets`` : [V] row offset of each video's bank
+    ``heights`` : [V] L_bank of each video (sentinel at offset + height)
+    ``z0_diff`` : [D_diff] normalized-zero diff vector (window row 0 override)
+    """
+
+    bank: np.ndarray
+    offsets: np.ndarray
+    heights: np.ndarray
+    z0_diff: np.ndarray
+    one_pass_raw: int
+    classes: T.List[str]
+    names: T.List[str]
+
+    @property
+    def feature_dim(self) -> int:
+        return int(self.bank.shape[1])
+
+    @property
+    def num_videos(self) -> int:
+        return len(self.offsets)
+
+
+def build_feature_bank(
+    items: T.Sequence,
+    paths: ModalityPaths,
+    stats: "ModalityStats",
+    modalities: T.Optional[T.Sequence[str]] = None,
+) -> FeatureBank:
+    mods = list(modalities) if modalities is not None else stats.modalities
+    feats = [compute_video_features(it, paths, stats, mods) for it in items]
+    offsets = np.zeros(len(feats), np.int32)
+    heights = np.zeros(len(feats), np.int32)
+    row = 0
+    for i, f in enumerate(feats):
+        offsets[i] = row
+        heights[i] = f.height
+        row += f.bank.shape[0]
+    bank = np.concatenate([f.bank for f in feats], axis=0)
+
+    z0_parts = [
+        _normalize(
+            np.zeros((1, stats.mean_diff[m].shape[0]), np.float32),
+            stats.mean_diff[m],
+            stats.std_diff[m],
+        )[0]
+        for m in mods
+    ]
+    one_pass_raw = sum(int(stats.mean_raw[m].shape[0]) for m in mods)
+    return FeatureBank(
+        bank=bank,
+        offsets=offsets,
+        heights=heights,
+        z0_diff=np.concatenate(z0_parts).astype(np.float32),
+        one_pass_raw=one_pass_raw,
+        classes=[f.cls for f in feats],
+        names=[f.name for f in feats],
+    )
+
+
+def gather_windows(
+    bank: jnp.ndarray,      # [N, D]
+    offsets: jnp.ndarray,   # [V] int32
+    heights: jnp.ndarray,   # [V] int32
+    z0_diff: jnp.ndarray,   # [D_diff]
+    one_pass_raw: int,
+    video_idx: jnp.ndarray, # [B] int32
+    starts: jnp.ndarray,    # [B] int32
+    clip_len: int,
+) -> jnp.ndarray:
+    """Assemble ``[B, clip_len, D]`` windows on device with one gather.
+
+    Jit-friendly: static ``clip_len``/``one_pass_raw``; everything else traced.
+    """
+    i = jnp.arange(clip_len, dtype=starts.dtype)[None, :]
+    row = jnp.minimum(starts[:, None] + i, heights[video_idx][:, None])
+    rows = jnp.take(bank, offsets[video_idx][:, None] + row, axis=0)  # [B,T,D]
+    # window row 0 always self-pairs -> diff block := normalized zero
+    return rows.at[:, 0, one_pass_raw:].set(
+        z0_diff[None, :].astype(rows.dtype)
+    )

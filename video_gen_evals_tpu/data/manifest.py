@@ -1,0 +1,179 @@
+"""Dataset manifests: scan mesh-npz trees into VideoItem records.
+
+Capability parity with the reference data discovery (C13-C14 in SURVEY.md):
+- :func:`scan_class_tree`     <- ``NpzVideoDataset._scan`` (ref ``utils.py:229-324``):
+  per-class directories of ``.npz`` files, optional per-class whitelist JSONs,
+  optional class filter, corrupt files skipped.
+- :func:`scan_generated_flat` <- ``create_dataset_from_generated_meshes``
+  (ref ``eval.py:48-101``): flat directory, class inferred from filename.
+- :func:`train_test_split`    <- ref ``utils.py:326-341``: per-class shuffle
+  with ``random.Random(seed)`` (bitwise-identical split membership), both
+  sides guaranteed non-empty.
+
+The manifest is plain host-side metadata (JSON-serializable); all array work
+happens downstream in the feature bank.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import typing as T
+
+import numpy as np
+
+from ..utils.names import infer_class_from_generated_stem
+
+
+@dataclasses.dataclass
+class VideoItem:
+    cls: str
+    name: str    # file name including .npz
+    path: str
+    length: int  # number of mesh frames (T)
+    vit_dim: int
+
+
+@dataclasses.dataclass
+class VideoManifest:
+    """A set of videos grouped by class."""
+
+    items: T.List[VideoItem]
+
+    @property
+    def class_to_items(self) -> T.Dict[str, T.List[VideoItem]]:
+        out: T.Dict[str, T.List[VideoItem]] = {}
+        for it in self.items:
+            out.setdefault(it.cls, []).append(it)
+        return out
+
+    @property
+    def classes(self) -> T.List[str]:
+        return sorted({it.cls for it in self.items})
+
+    def label_dict(self) -> T.Dict[str, int]:
+        return {cls: i for i, cls in enumerate(self.classes)}
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump([dataclasses.asdict(it) for it in self.items], f, indent=2)
+
+    @classmethod
+    def from_json(cls, path: str) -> "VideoManifest":
+        with open(path) as f:
+            return cls([VideoItem(**d) for d in json.load(f)])
+
+
+def _load_whitelist(wdir: str) -> T.Dict[str, T.Set[str]]:
+    """Per-class whitelist JSONs: ``<cls>.json`` lists of video names; stems
+    accepted with or without extension (ref ``utils.py:256-266``)."""
+    wl: T.Dict[str, T.Set[str]] = {}
+    if os.path.isdir(wdir):
+        for fname in sorted(os.listdir(wdir)):
+            if fname.endswith(".json"):
+                cls_name = os.path.splitext(fname)[0]
+                with open(os.path.join(wdir, fname)) as f:
+                    vids = json.load(f)
+                wl[cls_name] = {
+                    os.path.splitext(os.path.basename(v))[0] for v in vids
+                }
+    return wl
+
+
+def _probe_npz(path: str) -> T.Optional[T.Tuple[int, int]]:
+    """Return (mesh length, vit dim) or None if unreadable."""
+    try:
+        npz = np.load(path, mmap_mode="r")
+        pose = npz["pose"]
+        vit = npz["vit"]
+        return int(pose.shape[0]), int(vit.shape[1])
+    except Exception:
+        return None
+
+
+def scan_class_tree(
+    root_dir: str,
+    filter_classes: T.Optional[T.List[str]] = None,
+    whitelist_json_dir: T.Optional[str] = None,
+) -> VideoManifest:
+    """Scan ``root_dir/<class>/*.npz`` into a manifest. Corrupt npz files are
+    skipped (ref ``utils.py:292-294``)."""
+    whitelist = _load_whitelist(whitelist_json_dir) if whitelist_json_dir else {}
+    allowed = set(filter_classes) if filter_classes is not None else None
+    items: T.List[VideoItem] = []
+    classes = sorted(
+        d
+        for d in os.listdir(root_dir)
+        if os.path.isdir(os.path.join(root_dir, d))
+    )
+    for cls in classes:
+        if allowed is not None and cls not in allowed:
+            continue
+        cls_dir = os.path.join(root_dir, cls)
+        for f in sorted(os.listdir(cls_dir)):
+            if not f.endswith(".npz"):
+                continue
+            stem = os.path.splitext(f)[0]
+            if whitelist and stem not in whitelist.get(cls, set()):
+                continue
+            path = os.path.join(cls_dir, f)
+            probe = _probe_npz(path)
+            if probe is None:
+                continue
+            length, vit_dim = probe
+            items.append(
+                VideoItem(cls=cls, name=f, path=path, length=length, vit_dim=vit_dim)
+            )
+    return VideoManifest(items)
+
+
+def scan_generated_flat(generated_dir: str) -> VideoManifest:
+    """Scan a flat directory of generated-mesh ``*.npz``; class inferred from
+    the filename (ref ``eval.py:48-101``)."""
+    items: T.List[VideoItem] = []
+    for f in sorted(os.listdir(generated_dir)):
+        if not f.endswith(".npz"):
+            continue
+        path = os.path.join(generated_dir, f)
+        stem = os.path.splitext(f)[0]
+        try:
+            npz = np.load(path, mmap_mode="r")
+            length = int(npz["pose"].shape[0]) if "pose" in npz else 0
+            vit = npz["vit"] if "vit" in npz else None
+            vit_dim = int(vit.shape[1]) if vit is not None and vit.ndim > 1 else 0
+        except Exception:
+            continue
+        items.append(
+            VideoItem(
+                cls=infer_class_from_generated_stem(stem),
+                name=f,
+                path=path,
+                length=length,
+                vit_dim=vit_dim,
+            )
+        )
+    return VideoManifest(items)
+
+
+def train_test_split(
+    manifest: VideoManifest, train_ratio: float = 0.8, seed: int = 1337
+) -> T.Tuple[VideoManifest, VideoManifest]:
+    """Per-class shuffled split with both sides non-empty; split membership is
+    bitwise-identical to the reference for the same seed (``random.Random``,
+    ref ``utils.py:326-341``)."""
+    rng = random.Random(seed)
+    train_items: T.List[VideoItem] = []
+    test_items: T.List[VideoItem] = []
+    for _cls, vids in manifest.class_to_items.items():
+        vids_copy = vids[:]
+        rng.shuffle(vids_copy)
+        n = len(vids_copy)
+        n_train = max(1, min(n - 1, int(round(n * train_ratio))))
+        train_items.extend(vids_copy[:n_train])
+        test_items.extend(vids_copy[n_train:])
+    return VideoManifest(train_items), VideoManifest(test_items)

@@ -1,0 +1,119 @@
+"""Per-modality normalization statistics.
+
+Capability parity with ``ModalityStats`` + ``compute_stats_from_npz``
+(C16 in SURVEY.md, ref ``utils.py:570-801``): a single streaming pass over the
+TRAIN videos accumulating per-dim sum/sum^2 in float64, for 7 raw and 7 diff
+modalities; ``std = sqrt(max(var, 0) + eps)`` with eps *inside* the sqrt
+(ref ``utils.py:749``), while window normalization later adds a separate eps
+to the std (ref ``utils.py:473``). Delta features are computed in float32
+with the same ops used by the feature bank, so stats and features agree.
+
+The stats object is a plain pytree of numpy arrays, serializable to ``.npz``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as T
+
+import numpy as np
+
+from .features import ModalityPaths, load_video_arrays, compute_modality_diffs
+
+# canonical modality order == concatenation order (ref train.py:29-48)
+MODALITIES: T.Tuple[str, ...] = ("vit", "global", "pose", "beta", "kp2d", "clip", "dino")
+
+
+@dataclasses.dataclass
+class ModalityStats:
+    """mean/std per dim for each available modality, raw and diff streams."""
+
+    mean_raw: T.Dict[str, np.ndarray]
+    std_raw: T.Dict[str, np.ndarray]
+    mean_diff: T.Dict[str, np.ndarray]
+    std_diff: T.Dict[str, np.ndarray]
+
+    @property
+    def modalities(self) -> T.List[str]:
+        return [m for m in MODALITIES if m in self.mean_raw]
+
+    def dims_map_raw(self) -> T.Dict[str, int]:
+        return {m: int(self.mean_raw[m].shape[0]) for m in self.modalities}
+
+    def dims_map_diff(self) -> T.Dict[str, int]:
+        return {m: int(self.mean_diff[m].shape[0]) for m in self.modalities}
+
+    def save(self, path: str) -> None:
+        arrs = {}
+        for m in self.modalities:
+            arrs[f"mean_raw_{m}"] = self.mean_raw[m]
+            arrs[f"std_raw_{m}"] = self.std_raw[m]
+            arrs[f"mean_diff_{m}"] = self.mean_diff[m]
+            arrs[f"std_diff_{m}"] = self.std_diff[m]
+        np.savez(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "ModalityStats":
+        npz = np.load(path)
+        out = cls({}, {}, {}, {})
+        for key in npz.files:
+            kind, m = key.rsplit("_", 1)
+            getattr(out, kind)[m] = npz[key]
+        return out
+
+
+class _Acc:
+    """float64 sum / sum^2 / count accumulator (ref ``utils.py:589-593``)."""
+
+    def __init__(self):
+        self.s: T.Optional[np.ndarray] = None
+        self.ss: T.Optional[np.ndarray] = None
+        self.n = 0
+
+    def update(self, X: np.ndarray) -> None:
+        X64 = X.astype(np.float64)
+        if self.s is None:
+            self.s = np.zeros(X.shape[1], np.float64)
+            self.ss = np.zeros(X.shape[1], np.float64)
+        self.s += X64.sum(axis=0)
+        self.ss += (X64**2).sum(axis=0)
+        self.n += X.shape[0]
+
+    def finalize(self, eps: float) -> T.Tuple[np.ndarray, np.ndarray]:
+        n = max(1, self.n)
+        mean = self.s / n
+        var = self.ss / n - mean**2
+        std = np.sqrt(np.maximum(var, 0.0) + eps)
+        return mean.astype(np.float32), std.astype(np.float32)
+
+
+def compute_stats(
+    items: T.Sequence,                 # VideoItem sequence
+    paths: ModalityPaths,
+    eps: float = 1e-6,
+) -> ModalityStats:
+    """One streaming pass over train videos -> per-dim mean/std.
+
+    Matches the reference's accumulation exactly: raw arrays accumulated as
+    stored; diff arrays computed full-video in float32 then accumulated in
+    float64. Missing kp/clip/dino side files are skipped silently here
+    (stats pass; ref ``utils.py:668-704``).
+    """
+    assert len(items) > 0, "compute_stats: empty item list"
+    accs_raw = {m: _Acc() for m in MODALITIES}
+    accs_diff = {m: _Acc() for m in MODALITIES}
+
+    for it in items:
+        arrays = load_video_arrays(it, paths, strict_kp=False)
+        diffs = compute_modality_diffs(arrays)
+        for m, X in arrays.items():
+            accs_raw[m].update(X)
+        for m, X in diffs.items():
+            accs_diff[m].update(X)
+
+    stats = ModalityStats({}, {}, {}, {})
+    for m in MODALITIES:
+        if accs_raw[m].n > 0:
+            stats.mean_raw[m], stats.std_raw[m] = accs_raw[m].finalize(eps)
+            stats.mean_diff[m], stats.std_diff[m] = accs_diff[m].finalize(eps)
+    return stats
