@@ -1,0 +1,107 @@
+"""End-to-end score pipeline test on synthetic fixtures: the ref eval.py flow
+(stats -> centroids -> score generated -> video_scores.json -> Spearman)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from video_gen_evals_tpu.data import ModalityPaths
+from video_gen_evals_tpu.data.fixtures import (
+    make_fixture_tree,
+    write_keypoints,
+    write_mesh_npz,
+)
+from video_gen_evals_tpu.models import EncoderConfig, HumanActionScorer
+from video_gen_evals_tpu.models.fusion_encoder import init_encoder
+from video_gen_evals_tpu.pipelines.score import ScoreConfig, score_generated
+
+CLASSES = ["JumpingJack", "PushUps"]
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    mesh_root, kp_root = make_fixture_tree(
+        str(root), CLASSES, videos_per_class=4, frames=(40, 36, 25, 44), seed=3
+    )
+    # generated: flat dir with model/class-coded names + generated-layout kps
+    gen_dir = str(root / "generated_meshes")
+    gen_kp = str(root / "generated_kps")
+    rng = np.random.default_rng(7)
+    names = []
+    for i, cls in enumerate(CLASSES * 3):
+        stem = f"GenModel{i % 2}_{cls}_{i:02d}_hash{i}"
+        write_mesh_npz(os.path.join(gen_dir, f"{stem}.npz"), 38, 64, rng)
+        write_keypoints(os.path.join(gen_kp, stem, "keypoints.npy"), 38, rng)
+        names.append(stem)
+    human = {f"{n}.mp4": {"ac": float(i), "tc": float(-i)} for i, n in enumerate(names)}
+    human_path = str(root / "human.json")
+    with open(human_path, "w") as f:
+        json.dump(human, f)
+    return root, mesh_root, kp_root, gen_dir, gen_kp, human_path, names
+
+
+def test_score_pipeline_end_to_end(env):
+    root, mesh_root, kp_root, gen_dir, gen_kp, human_path, names = env
+    dims_raw = {"vit": 64, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
+    dims_diff = {"vit": 64, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=64, time_layers=2, time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=16)
+
+    out_json = str(root / "video_scores.json")
+    result = score_generated(
+        model,
+        params,
+        gen_dir,
+        mesh_root,
+        real_paths=ModalityPaths(keypoint_dir=kp_root, layout="real"),
+        gen_paths=ModalityPaths(keypoint_dir=gen_kp, layout="generated"),
+        cfg=ScoreConfig(clip_len=16, stride=8, batch_size=16),
+        human_scores_path=human_path,
+        output_json=out_json,
+    )
+
+    scores = result["scores"]
+    assert len(scores) == len(names)
+    for n in names:
+        assert "ac" in scores[n] and "tc" in scores[n]
+        assert np.isfinite(scores[n]["ac"]) and np.isfinite(scores[n]["tc"])
+        assert scores[n]["tc"] >= 0 and 0 <= scores[n]["ac"] <= 2.0
+
+    # schema on disk matches reference eval.py output
+    with open(out_json) as f:
+        on_disk = json.load(f)
+    assert on_disk == scores
+
+    assert result["ac_corr"]["n"] == len(names)
+    assert result["tc_corr"]["n"] == len(names)
+    assert result["ac_corr"]["spearman"] is not None
+
+
+def test_batched_encoding_invariant_to_batch_size(env):
+    """Scores must not depend on the scoring batch size (pad+mask check)."""
+    root, mesh_root, kp_root, gen_dir, gen_kp, human_path, names = env
+    dims_raw = {"vit": 64, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
+    dims_diff = {"vit": 64, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1, time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(1), clip_len=16)
+
+    outs = []
+    for bs in (7, 64):
+        r = score_generated(
+            model,
+            params,
+            gen_dir,
+            mesh_root,
+            real_paths=ModalityPaths(keypoint_dir=kp_root, layout="real"),
+            gen_paths=ModalityPaths(keypoint_dir=gen_kp, layout="generated"),
+            cfg=ScoreConfig(clip_len=16, stride=8, batch_size=bs),
+            output_json=None,
+        )
+        outs.append(r["scores"])
+    for n in outs[0]:
+        np.testing.assert_allclose(outs[0][n]["ac"], outs[1][n]["ac"], atol=1e-5)
+        np.testing.assert_allclose(outs[0][n]["tc"], outs[1][n]["tc"], atol=1e-5)

@@ -1,0 +1,294 @@
+"""TAG scoring pipeline (the serve path) — ref ``eval.py`` equivalent.
+
+Everything between "feature bank" and "{ac, tc} per video" runs as jitted
+device programs with static shapes:
+
+  gather windows -> fusion encoder -> (CLS embeds, per-window TC)
+  -> segment-mean by video -> AC (centroid distance) + TC
+
+Batches use a fixed static size (tail padded with repeats, masked out of the
+reductions) so the whole sweep compiles exactly once. Host work is limited to
+manifest scanning, feature-bank construction, and the final JSON.
+
+Outputs ``video_scores.json`` with the reference schema ``{vid: {ac, tc}}``
+(ref ``eval.py:439-453``) and sign-inverted Spearman vs human MOS
+(ref ``eval.py:456-464``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import typing as T
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (
+    FeatureBank,
+    ModalityPaths,
+    ModalityStats,
+    VideoManifest,
+    build_feature_bank,
+    compute_stats,
+    enumerate_windows,
+    gather_windows,
+    scan_class_tree,
+    scan_generated_flat,
+    train_test_split,
+)
+from ..metrics.correlation import match_and_correlate
+from ..metrics.scores import (
+    build_centroids,
+    tc_per_window,
+    video_ac_scores,
+    video_tc_scores,
+)
+from ..models import EncoderConfig, HumanActionScorer
+from ..utils.names import ACTION_CLASSES, canonicalize_class
+
+
+@dataclasses.dataclass
+class ScoreConfig:
+    clip_len: int = 32
+    stride: int = 8
+    batch_size: int = 512
+    seed: int = 1337
+
+
+class WindowEncoder:
+    """Jitted (bank -> window batch -> embeddings + TC) program."""
+
+    def __init__(self, model: HumanActionScorer, params, batch_size: int, clip_len: int):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.clip_len = clip_len
+
+        def _encode(params, bank, offsets, heights, z0, video_idx, starts, one_pass_raw):
+            w = gather_windows(
+                bank, offsets, heights, z0, one_pass_raw, video_idx, starts, clip_len
+            )
+            seq, frames, _ = model.apply({"params": params}, w, deterministic=True)
+            return seq, tc_per_window(frames)
+
+        self._encode = jax.jit(_encode, static_argnames=("one_pass_raw",))
+
+    def encode_bank(
+        self, bank: FeatureBank, windows: T.Sequence[T.Tuple[int, int]]
+    ) -> T.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (seq_embeds [N, D], window_tc [N], window_video [N])."""
+        n = len(windows)
+        video_idx = np.array([w[0] for w in windows], np.int32)
+        starts = np.array([w[1] for w in windows], np.int32)
+
+        bank_d = jnp.asarray(bank.bank)
+        offsets_d = jnp.asarray(bank.offsets)
+        heights_d = jnp.asarray(bank.heights)
+        z0_d = jnp.asarray(bank.z0_diff)
+
+        seqs, tcs = [], []
+        B = self.batch_size
+        for lo in range(0, n, B):
+            vi = video_idx[lo : lo + B]
+            st = starts[lo : lo + B]
+            pad = B - len(vi)
+            if pad:
+                vi = np.concatenate([vi, np.repeat(vi[-1:], pad)])
+                st = np.concatenate([st, np.repeat(st[-1:], pad)])
+            seq, tc = self._encode(
+                self.params,
+                bank_d,
+                offsets_d,
+                heights_d,
+                z0_d,
+                jnp.asarray(vi),
+                jnp.asarray(st),
+                bank.one_pass_raw,
+            )
+            if pad:
+                seq, tc = seq[:-pad], tc[:-pad]
+            seqs.append(np.asarray(seq))
+            tcs.append(np.asarray(tc))
+        return np.concatenate(seqs), np.concatenate(tcs), video_idx
+
+
+def build_real_centroids(
+    encoder: WindowEncoder,
+    real_manifest: VideoManifest,
+    paths: ModalityPaths,
+    stats: ModalityStats,
+    cfg: ScoreConfig,
+) -> T.Tuple[np.ndarray, T.Dict[str, int]]:
+    """Class centroids from the real-video train split (ref ``eval.py:260-286``)."""
+    train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
+    label_dict = real_manifest.label_dict()
+    bank = build_feature_bank(train_ds.items, paths, stats)
+    windows = enumerate_windows(train_ds, cfg.clip_len, cfg.stride)
+    seqs, _tc, win_video = encoder.encode_bank(bank, windows)
+    labels = np.array(
+        [label_dict[bank.classes[v]] for v in win_video], np.int32
+    )
+    centroids, _counts = build_centroids(
+        jnp.asarray(seqs), jnp.asarray(labels), len(label_dict)
+    )
+    return np.asarray(centroids), label_dict
+
+
+def score_bank(
+    encoder: WindowEncoder,
+    bank: FeatureBank,
+    manifest: VideoManifest,
+    centroids: np.ndarray,
+    label_dict: T.Dict[str, int],
+    cfg: ScoreConfig,
+) -> T.Dict[str, T.Dict[str, float]]:
+    """Score every video in ``manifest``: returns ``{video_id: {ac, tc}}``."""
+    windows = enumerate_windows(manifest, cfg.clip_len, cfg.stride)
+    if not windows:
+        return {}
+    seqs, window_tc, win_video = encoder.encode_bank(bank, windows)
+    num_videos = len(manifest.items)
+
+    tc_v = np.asarray(
+        video_tc_scores(
+            jnp.asarray(window_tc), jnp.asarray(win_video), num_videos
+        )
+    )
+
+    # AC only for videos whose canonical class has a centroid
+    video_cls = [canonicalize_class(c) for c in bank.classes]
+    video_label = np.array(
+        [label_dict.get(c, 0) for c in video_cls], np.int32
+    )
+    has_label = np.array(
+        [c in label_dict and label_dict[c] < len(centroids) for c in video_cls]
+    )
+    ac_v = np.asarray(
+        video_ac_scores(
+            jnp.asarray(seqs),
+            jnp.asarray(win_video),
+            jnp.asarray(video_label),
+            jnp.asarray(centroids),
+        )
+    )
+
+    # videos can appear with zero windows only if length <= 0 (skipped)
+    has_window = np.zeros(num_videos, bool)
+    has_window[np.unique(win_video)] = True
+
+    scores: T.Dict[str, T.Dict[str, float]] = {}
+    import os
+
+    for v, it in enumerate(manifest.items):
+        if not has_window[v]:
+            continue
+        vid = os.path.splitext(it.name)[0]
+        entry = scores.setdefault(vid, {})
+        entry["tc"] = float(tc_v[v])
+        if has_label[v]:
+            entry["ac"] = float(ac_v[v])
+    return scores
+
+
+def score_generated(
+    model: HumanActionScorer,
+    params,
+    generated_dir: str,
+    real_meshes_dir: str,
+    real_paths: ModalityPaths,
+    gen_paths: ModalityPaths,
+    cfg: T.Optional[ScoreConfig] = None,
+    human_scores_path: T.Optional[str] = None,
+    output_json: T.Optional[str] = "video_scores.json",
+    stats: T.Optional[ModalityStats] = None,
+) -> T.Dict[str, T.Any]:
+    """Full ref ``eval.py`` flow: stats from real train split, centroids, score
+    every generated video, optional Spearman vs human MOS."""
+    cfg = cfg or ScoreConfig()
+    real_manifest = scan_class_tree(real_meshes_dir, filter_classes=list(ACTION_CLASSES))
+    if stats is None:
+        train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
+        stats = compute_stats(train_ds.items, real_paths)
+
+    encoder = WindowEncoder(model, params, cfg.batch_size, cfg.clip_len)
+    centroids, label_dict = build_real_centroids(
+        encoder, real_manifest, real_paths, stats, cfg
+    )
+
+    gen_manifest = scan_generated_flat(generated_dir)
+    gen_bank = build_feature_bank(gen_manifest.items, gen_paths, stats)
+    combined = score_bank(encoder, gen_bank, gen_manifest, centroids, label_dict, cfg)
+
+    result: T.Dict[str, T.Any] = {"scores": combined}
+    if output_json:
+        with open(output_json, "w") as f:
+            json.dump(combined, f, indent=2)
+
+    if human_scores_path:
+        with open(human_scores_path) as f:
+            human = json.load(f)
+        ac_only = {k: v["ac"] for k, v in combined.items() if "ac" in v}
+        tc_only = {k: v["tc"] for k, v in combined.items() if "tc" in v}
+        result["ac_corr"] = match_and_correlate(ac_only, human, "ac")
+        result["tc_corr"] = match_and_correlate(tc_only, human, "tc")
+    return result
+
+
+def main(argv: T.Optional[T.List[str]] = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="TAG scoring (AC + TC) pipeline")
+    p.add_argument("--generated-meshes", required=True)
+    p.add_argument("--real-meshes", required=True)
+    p.add_argument("--checkpoint", required=True, help=".pt (torch) or orbax dir")
+    p.add_argument("--real-kp-dir", default=None)
+    p.add_argument("--gen-kp-dir", default=None)
+    p.add_argument("--human-scores", default=None)
+    p.add_argument("--clip-len", type=int, default=32)
+    p.add_argument("--stride", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--output", default="video_scores.json")
+    args = p.parse_args(argv)
+
+    cfg = ScoreConfig(args.clip_len, args.stride, args.batch_size)
+    real_paths = ModalityPaths(keypoint_dir=args.real_kp_dir, layout="real")
+    gen_paths = ModalityPaths(keypoint_dir=args.gen_kp_dir, layout="generated")
+
+    real_manifest = scan_class_tree(args.real_meshes, filter_classes=list(ACTION_CLASSES))
+    train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
+    stats = compute_stats(train_ds.items, real_paths)
+
+    enc_cfg = EncoderConfig.create(stats.dims_map_raw(), stats.dims_map_diff())
+    model = HumanActionScorer(enc_cfg)
+    if args.checkpoint.endswith(".pt"):
+        from ..models.torch_compat import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.checkpoint, enc_cfg)
+    else:
+        from ..train.checkpoint import restore_params
+
+        params = restore_params(args.checkpoint)
+
+    result = score_generated(
+        model,
+        params,
+        args.generated_meshes,
+        args.real_meshes,
+        real_paths,
+        gen_paths,
+        cfg,
+        human_scores_path=args.human_scores,
+        output_json=args.output,
+        stats=stats,
+    )
+    n = len(result["scores"])
+    print(f"Saved AC/TC scores for {n} videos to {args.output}")
+    for key in ("ac_corr", "tc_corr"):
+        if key in result and result[key]["spearman"] is not None:
+            print(f"{key}: spearman={result[key]['spearman']:.4f} (n={result[key]['n']})")
+
+
+if __name__ == "__main__":
+    main()
