@@ -1,0 +1,183 @@
+"""Training tests: fused step semantics, schedule parity with torch, DP
+sharding equivalence on the 8-device CPU mesh, and a tiny end-to-end run."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_gen_evals_tpu.core.config import PathsConfig, TrainConfig
+from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+from video_gen_evals_tpu.models import EncoderConfig
+from video_gen_evals_tpu.models.fusion_encoder import init_encoder
+from video_gen_evals_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from video_gen_evals_tpu.train.step import (
+    TrainState,
+    make_eval_loss_fn,
+    make_optimizer,
+    make_train_step,
+)
+
+DIMS_RAW = {"vit": 16, "pose": 18}
+DIMS_DIFF = {"vit": 16, "pose": 6}
+
+
+def _setup(key=0, d_model=32):
+    cfg = EncoderConfig.create(DIMS_RAW, DIMS_DIFF, d_model=d_model, time_layers=1, time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(key), clip_len=8)
+    tx = make_optimizer(3e-4, 100)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, donate=False)
+    return cfg, model, tx, state, step
+
+
+def test_cosine_schedule_matches_torch_formula():
+    import math
+
+    import optax
+
+    lr, T_max, eta_min = 3e-4, 50, 1e-6
+    sched = optax.cosine_decay_schedule(lr, T_max, alpha=eta_min / lr)
+    for t in [0, 1, 10, 25, 49, 50]:
+        torch_lr = eta_min + (lr - eta_min) * (1 + math.cos(math.pi * t / T_max)) / 2
+        np.testing.assert_allclose(float(sched(t)), torch_lr, rtol=1e-6)
+
+
+def test_train_step_decreases_loss(rng):
+    cfg, model, tx, state, step = _setup()
+    B, T = 16, 8
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, size=B).astype(np.int32))
+    key = jax.random.key(42)
+    first = None
+    for i in range(8):
+        state, metrics = step(state, feats, labels, key)
+        if first is None:
+            first = float(metrics["total"])
+    assert float(metrics["skipped"]) == 0.0
+    assert float(metrics["total"]) < first
+
+
+def test_nonfinite_batch_skips_update(rng):
+    cfg, model, tx, state, step = _setup()
+    feats = jnp.full((8, 8, cfg.input_dim), jnp.nan, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, size=8).astype(np.int32))
+    new_state, metrics = step(state, feats, labels, jax.random.key(0))
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == 1  # step counter still advances
+
+
+def test_eval_loss_components(rng):
+    cfg, model, tx, state, step = _setup()
+    eval_loss = make_eval_loss_fn(model)
+    feats = jnp.asarray(rng.normal(size=(12, 8, cfg.input_dim)).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3], np.int32))
+    comps = eval_loss(state.params, feats, labels, jax.random.key(1))
+    assert set(comps) == {"tcl", "hard_shuf", "hard_rev", "hard_stat", "total"}
+    np.testing.assert_allclose(
+        float(comps["total"]),
+        sum(float(comps[k]) for k in ("tcl", "hard_shuf", "hard_rev", "hard_stat")),
+        rtol=1e-5,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_loss_and_grads_match_single_device(rng):
+    """SPMD data-parallel loss + gradients == single-device on the same batch
+    (SURVEY §4.5: the TPU-native analogue of fake-backend distributed tests).
+
+    Gradients, not post-Adam params, are the right comparison: Adam's
+    first-step normalization maps any reduction-order float noise on a
+    near-zero gradient to a full ±lr sign flip.
+    """
+    from video_gen_evals_tpu.train.step import make_loss_fn
+
+    cfg, model, tx, state, step = _setup()
+    loss_fn = make_loss_fn(model)
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda p, f, l, r: loss_fn(p, f, l, r, False)[0]
+        )
+    )
+    B, T = 16, 8
+    feats_np = rng.normal(size=(B, T, cfg.input_dim)).astype(np.float32)
+    labels_np = rng.integers(0, 4, size=B).astype(np.int32)
+    key = jax.random.key(7)
+
+    v1, g1 = grad_fn(state.params, jnp.asarray(feats_np), jnp.asarray(labels_np), key)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    bs = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    params_dp = jax.device_put(state.params, rep)
+    feats_dp = jax.device_put(jnp.asarray(feats_np), bs)
+    labels_dp = jax.device_put(jnp.asarray(labels_np), bs)
+    v8, g8 = grad_fn(params_dp, feats_dp, labels_dp, key)
+
+    np.testing.assert_allclose(float(v1), float(v8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_e2e")
+    mesh_root, kp_root = make_fixture_tree(
+        str(root), ["JumpingJack", "PushUps"], videos_per_class=4, frames=(60, 48, 40, 56), seed=5
+    )
+    return str(root), mesh_root, kp_root
+
+
+def test_experiment_end_to_end(tiny_env):
+    from video_gen_evals_tpu.train.experiment import Experiment
+
+    root, mesh_root, kp_root = tiny_env
+    cfg = TrainConfig(
+        paths=PathsConfig(
+            real_meshes_dir=mesh_root,
+            real_kp_dir=kp_root,
+            generated_meshes_dir=os.path.join(root, "none"),
+            human_scores=os.path.join(root, "none.json"),
+        ),
+        epochs=2,
+        clip_len=16,
+        stride=8,
+        P=2,
+        K=4,
+        d_model=32,
+        time_layers=1,
+        time_heads=4,
+        filter_classes=None,
+        save_dir=os.path.join(root, "SAVE"),
+    )
+    exp = Experiment(cfg, eval_batch=16)
+    exp.run()
+
+    assert exp.best_ckpt is not None and os.path.exists(exp.best_ckpt)
+    assert os.path.exists(os.path.join(exp.save_dir, "label_mapping.json"))
+    assert os.path.exists(os.path.join(exp.save_dir, "config.json"))
+    with open(exp.metrics_path) as f:
+        events = [json.loads(l) for l in f]
+    kinds = {e["event"] for e in events}
+    assert {"train_epoch", "eval_loss", "centroid_distance", "checkpoint"} <= kinds
+    train_events = [e for e in events if e["event"] == "train_epoch"]
+    assert len(train_events) == 2
+    assert all(np.isfinite(e["loss"]) for e in train_events)
+
+    # restored params score identically
+    from video_gen_evals_tpu.train.checkpoint import restore_params
+
+    restored = restore_params(exp.best_ckpt)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(exp.state.params)),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        assert np.asarray(a).shape == np.asarray(b).shape

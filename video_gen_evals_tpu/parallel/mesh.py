@@ -1,0 +1,82 @@
+"""Device mesh and sharding rules (SURVEY §2.3 / §5.8 rebuild plan).
+
+The reference's only multi-device mechanism is single-process
+``nn.DataParallel`` (off by default, ref ``train.py:76-79``). Here parallelism
+is first-class and TPU-native:
+
+- one ``jax.sharding.Mesh`` with a ``data`` axis (batch/window sharding — the
+  scaling axis for both training and benchmark sweeps) and a ``model`` axis
+  (Megatron-style tensor parallelism over the transformer FFN/attention and
+  conv channels; reserved, 1 by default since the model is small);
+- parameters replicated (or TP-sharded) via ``NamedSharding``; gradients are
+  reduced by XLA-inserted ``psum`` over ICI — no hand-written collectives;
+- multi-host extends the same mesh via ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: T.Optional[int] = None,
+    n_model: int = 1,
+    devices: T.Optional[T.Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = devices[: n_data * n_model]
+    arr = np.array(use).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch/window) axis sharded over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for_param(path: str) -> P:
+    """Megatron-style TP layout: column-parallel qkv/linear1 (shard output
+    features), row-parallel out_proj/linear2 (shard input features); conv
+    stacks shard output channels; everything else replicated."""
+    if "in_proj" in path or "linear1" in path:
+        if path.endswith("kernel"):
+            return P(None, "model")
+        return P("model")  # bias on the sharded output dim
+    if "out_proj/kernel" in path or "linear2/kernel" in path:
+        return P("model", None)
+    if ("state_enc" in path or "motion_enc" in path) and path.endswith("kernel"):
+        if "stem" in path or "conv" in path:
+            return P(None, None, "model")  # [k, in, out] -> shard out channels
+    return P()
+
+
+def tp_param_sharding(mesh: Mesh, params) -> T.Any:
+    """Tree of NamedShardings for the fusion-encoder param tree."""
+
+    def one(path_tuple, leaf):
+        path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
+        spec = _spec_for_param(path)
+        # never shard a dim that doesn't divide evenly
+        sizes = dict(zip(spec, getattr(leaf, "shape", ())))
+        for axis_name in spec:
+            if axis_name == "model":
+                pass
+        shape = getattr(leaf, "shape", ())
+        n_model = mesh.shape["model"]
+        ok = True
+        for dim, ax in zip(shape, spec):
+            if ax == "model" and dim % n_model != 0:
+                ok = False
+        return NamedSharding(mesh, spec if ok else P())
+
+    return jax.tree_util.tree_map_with_path(one, params)

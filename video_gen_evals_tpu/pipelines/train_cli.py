@@ -1,0 +1,55 @@
+"""Training CLI — ref ``python train.py`` equivalent."""
+
+from __future__ import annotations
+
+import typing as T
+
+
+def main(argv: T.Optional[T.List[str]] = None) -> None:
+    import argparse
+
+    from ..core.config import TrainConfig, PathsConfig
+    from ..train.experiment import Experiment
+
+    p = argparse.ArgumentParser(description="Train the HumanActionScorer fusion encoder")
+    p.add_argument("--config", default=None, help="TrainConfig JSON; CLI flags override")
+    p.add_argument("--real-meshes", default=None)
+    p.add_argument("--real-kp-dir", default=None)
+    p.add_argument("--generated-meshes", default=None)
+    p.add_argument("--gen-kp-dir", default=None)
+    p.add_argument("--human-scores", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--clip-len", type=int, default=None)
+    p.add_argument("--stride", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--save-dir", default=None)
+    args = p.parse_args(argv)
+
+    cfg = TrainConfig.from_json(args.config) if args.config else TrainConfig()
+    paths: PathsConfig = cfg.paths
+    if args.real_meshes:
+        paths.real_meshes_dir = args.real_meshes
+    if args.real_kp_dir:
+        paths.real_kp_dir = args.real_kp_dir
+    if args.generated_meshes:
+        paths.generated_meshes_dir = args.generated_meshes
+    if args.gen_kp_dir:
+        paths.gen_kp_dir = args.gen_kp_dir
+    if args.human_scores:
+        paths.human_scores = args.human_scores
+    for field in ("epochs", "clip_len", "stride", "lr", "save_dir"):
+        v = getattr(args, field)
+        if v is not None:
+            setattr(cfg, field, v)
+
+    exp = Experiment(cfg)
+    print(
+        f"Training on {len(exp.train_ds)} videos ({len(exp.train_windows)} windows), "
+        f"evaluating on {len(exp.test_ds)} videos; classes: {exp.full_ds.classes}"
+    )
+    exp.run()
+    print(f"Training complete. Best checkpoint: {exp.best_ckpt}")
+
+
+if __name__ == "__main__":
+    main()

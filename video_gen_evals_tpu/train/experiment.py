@@ -1,0 +1,363 @@
+"""Experiment harness: the ref ``BaseExperiment``/``Exp_TCL_Hard_V2Plus``
+training loop (C22-C23 in SURVEY.md), rebuilt around device-resident data.
+
+Per epoch (ref ``train.py:433-467``):
+  1. train over PK-balanced batches (fused 4-forward jitted step);
+  2. build class centroids from train windows;
+  3. test-set loss with per-component breakdown -> best-checkpoint criterion;
+  4. test-set centroid distances (monitoring);
+  5. human-correlation monitor on generated videos (monitoring).
+
+TPU-first data flow: the entire train/test feature banks live in HBM; each
+step gathers its PK batch on device (no per-window host IO), optionally
+sharded over the mesh ``data`` axis (gradients psum over ICI via GSPMD).
+Observability: structured JSONL metrics (SURVEY §5.5) instead of prints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import typing as T
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TrainConfig
+from ..data import (
+    ModalityPaths,
+    PKBatchSampler,
+    build_feature_bank,
+    compute_stats,
+    enumerate_windows,
+    gather_windows,
+    scan_class_tree,
+    train_test_split,
+)
+from ..metrics.correlation import correlate_with_class_fallback
+from ..metrics.scores import build_centroids, video_ac_scores, video_tc_scores
+from ..models import EncoderConfig, HumanActionScorer
+from ..models.fusion_encoder import init_encoder
+from ..pipelines.score import WindowEncoder
+from ..utils.names import infer_class_from_name
+from .checkpoint import save_params
+from .step import TrainState, make_eval_loss_fn, make_optimizer, make_train_step
+
+
+class Experiment:
+    def __init__(self, cfg: TrainConfig, mesh=None, eval_batch: int = 512):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.eval_batch = eval_batch
+        self.rng = jax.random.key(cfg.seed)
+
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        self.save_dir = os.path.join(cfg.save_dir, f"{cfg.name}_{ts}")
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.metrics_path = os.path.join(self.save_dir, "metrics.jsonl")
+
+        # ---------------- data ----------------
+        self.full_ds = scan_class_tree(
+            cfg.paths.real_meshes_dir, filter_classes=cfg.filter_classes
+        )
+        self.train_ds, self.test_ds = train_test_split(self.full_ds, 0.8, cfg.seed)
+        self.real_paths = ModalityPaths(
+            keypoint_dir=cfg.paths.real_kp_dir,
+            clip_dir=cfg.paths.real_clip_dir,
+            dino_dir=cfg.paths.real_dino_dir,
+            layout="real",
+        )
+        self.stats = compute_stats(self.train_ds.items, self.real_paths)
+        self.label_dict = self.full_ds.label_dict()
+        with open(os.path.join(self.save_dir, "label_mapping.json"), "w") as f:
+            json.dump(self.label_dict, f, indent=2)
+        cfg.to_json(os.path.join(self.save_dir, "config.json"))
+
+        mods = [m for m in cfg.detect_modalities() if m in self.stats.modalities]
+        self.train_bank = build_feature_bank(
+            self.train_ds.items, self.real_paths, self.stats, mods
+        )
+        self.test_bank = build_feature_bank(
+            self.test_ds.items, self.real_paths, self.stats, mods
+        )
+        self.train_windows = enumerate_windows(self.train_ds, cfg.clip_len, cfg.stride)
+        self.test_windows = enumerate_windows(self.test_ds, cfg.clip_len, cfg.stride)
+        self.window_labels = np.array(
+            [self.label_dict[self.train_bank.classes[vi]] for vi, _ in self.train_windows],
+            np.int32,
+        )
+        self.sampler = PKBatchSampler(
+            self.window_labels,
+            P=cfg.P,
+            K=cfg.K,
+            drop_last=True,
+            rng=np.random.default_rng(cfg.seed),
+        )
+
+        # ---------------- model / optimizer ----------------
+        dims_raw = {m: self.stats.dims_map_raw()[m] for m in mods}
+        dims_diff = {m: self.stats.dims_map_diff()[m] for m in mods}
+        self.enc_cfg = EncoderConfig.create(
+            dims_raw,
+            dims_diff,
+            d_model=cfg.d_model,
+            latent_dim=cfg.latent_dim,
+            time_layers=cfg.time_layers,
+            time_heads=cfg.time_heads,
+            dropout=cfg.dropout,
+        )
+        self.model, params = init_encoder(
+            self.enc_cfg, jax.random.key(cfg.seed), cfg.clip_len
+        )
+        steps_per_epoch = max(1, len(self.sampler))
+        self.tx = make_optimizer(
+            cfg.lr, steps_per_epoch * cfg.epochs, eta_min=cfg.eta_min
+        )
+        self.state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        self.train_step = make_train_step(self.model, self.tx, cfg.hard_negative_weight)
+        self.eval_loss = make_eval_loss_fn(self.model, cfg.hard_negative_weight)
+
+        self._gather = jax.jit(
+            gather_windows, static_argnames=("one_pass_raw", "clip_len")
+        )
+        self._train_bank_dev = self._bank_device(self.train_bank)
+        self._test_bank_dev = self._bank_device(self.test_bank)
+        self.best_eval_loss = float("inf")
+        self.best_ckpt: T.Optional[str] = None
+
+    # ------------------------------------------------------------------
+    def _bank_device(self, bank):
+        return (
+            jnp.asarray(bank.bank),
+            jnp.asarray(bank.offsets),
+            jnp.asarray(bank.heights),
+            jnp.asarray(bank.z0_diff),
+        )
+
+    def _gather_batch(self, bank, bank_dev, windows, idxs):
+        vi = jnp.asarray(np.array([windows[i][0] for i in idxs], np.int32))
+        st = jnp.asarray(np.array([windows[i][1] for i in idxs], np.int32))
+        return self._gather(
+            bank_dev[0],
+            bank_dev[1],
+            bank_dev[2],
+            bank_dev[3],
+            bank.one_pass_raw,
+            vi,
+            st,
+            self.cfg.clip_len,
+        )
+
+    def _log(self, record: T.Dict[str, T.Any]) -> None:
+        record = {
+            k: (float(v) if isinstance(v, (np.floating, jnp.ndarray)) else v)
+            for k, v in record.items()
+        }
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, epoch: int) -> float:
+        total = 0.0
+        n_batches = 0
+        t0 = time.time()
+        for batch_idx in self.sampler:
+            feats = self._gather_batch(
+                self.train_bank, self._train_bank_dev, self.train_windows, batch_idx
+            )
+            labels = jnp.asarray(self.window_labels[batch_idx])
+            self.state, metrics = self.train_step(
+                self.state, feats, labels, self.rng
+            )
+            total += float(metrics["total"])
+            n_batches += 1
+        dt = time.time() - t0
+        avg = total / max(1, n_batches)
+        clips_per_sec = n_batches * self.cfg.batch_size * 4 / max(dt, 1e-9)
+        self._log(
+            {
+                "event": "train_epoch",
+                "epoch": epoch,
+                "loss": avg,
+                "batches": n_batches,
+                "seconds": dt,
+                "clips_per_sec": clips_per_sec,
+            }
+        )
+        return avg
+
+    # ------------------------------------------------------------------
+    def _window_encoder(self) -> WindowEncoder:
+        return WindowEncoder(
+            self.model, self.state.params, self.eval_batch, self.cfg.clip_len
+        )
+
+    def evaluate_centroids(self) -> np.ndarray:
+        enc = self._window_encoder()
+        seqs, _tc, win_video = enc.encode_bank(self.train_bank, self.train_windows)
+        labels = np.array(
+            [self.label_dict[self.train_bank.classes[v]] for v in win_video], np.int32
+        )
+        cen, _ = build_centroids(
+            jnp.asarray(seqs), jnp.asarray(labels), len(self.label_dict)
+        )
+        return np.asarray(cen)
+
+    def evaluate_test_loss(self, epoch: int) -> T.Tuple[float, T.Dict[str, float]]:
+        """Same loss as training over fixed test-window chunks (eval mode);
+        non-finite chunks skipped (ref ``train.py:286-333``)."""
+        n = len(self.test_windows)
+        B = min(self.eval_batch, n)
+        rng = jax.random.key(self.cfg.seed + 999)
+        total = 0.0
+        comp_sum: T.Dict[str, float] = {}
+        n_batches = 0
+        test_labels = np.array(
+            [self.label_dict[self.test_bank.classes[vi]] for vi, _ in self.test_windows],
+            np.int32,
+        )
+        for lo in range(0, n, B):
+            idxs = list(range(lo, min(lo + B, n)))  # tail batch included
+            # (ref DataLoader yields the final partial batch; one extra
+            # compile for the tail shape)
+            feats = self._gather_batch(
+                self.test_bank, self._test_bank_dev, self.test_windows, idxs
+            )
+            labels = jnp.asarray(test_labels[idxs])
+            comps = self.eval_loss(
+                self.state.params, feats, labels, jax.random.fold_in(rng, lo)
+            )
+            comps = {k: float(v) for k, v in comps.items()}
+            if not np.isfinite(comps["total"]):
+                continue
+            total += comps["total"]
+            for k, v in comps.items():
+                if k != "total":
+                    comp_sum[k] = comp_sum.get(k, 0.0) + v
+            n_batches += 1
+        if n_batches == 0:
+            return float("inf"), {}
+        avg = total / n_batches
+        comps_avg = {k: v / n_batches for k, v in comp_sum.items()}
+        self._log(
+            {"event": "eval_loss", "epoch": epoch, "loss": avg, **comps_avg}
+        )
+        return avg, comps_avg
+
+    def evaluate_centroid_distance(
+        self, epoch: int, centroids: np.ndarray
+    ) -> T.Tuple[float, T.Dict[str, float]]:
+        enc = self._window_encoder()
+        seqs, _tc, win_video = enc.encode_bank(self.test_bank, self.test_windows)
+        labels = np.array(
+            [self.label_dict[self.test_bank.classes[v]] for v in win_video], np.int32
+        )
+        cen = centroids[labels]
+        d = np.linalg.norm(seqs - cen, axis=-1)
+        avg = float(d.mean()) if len(d) else float("inf")
+        per_class = {
+            cls: float(d[labels == idx].mean())
+            for cls, idx in self.label_dict.items()
+            if np.any(labels == idx)
+        }
+        self._log(
+            {
+                "event": "centroid_distance",
+                "epoch": epoch,
+                "avg": avg,
+                **{f"cls_{k}": v for k, v in per_class.items()},
+            }
+        )
+        return avg, per_class
+
+    def evaluate_human_corr(
+        self, epoch: int, centroids: np.ndarray
+    ) -> T.Optional[T.Dict[str, T.Any]]:
+        """Human-correlation monitor (ref ``utils.py:1047-1220``): scores the
+        generated videos and correlates with MOS using class-mean fallback."""
+        cfg = self.cfg
+        gen_dir = cfg.paths.generated_meshes_dir
+        human_path = cfg.paths.human_scores
+        if not (gen_dir and os.path.isdir(gen_dir) and os.path.exists(human_path)):
+            return None
+        from ..data import scan_generated_flat
+
+        gen_manifest = scan_generated_flat(gen_dir)
+        # class inference by known-class substring (ref utils.py:1069-1073)
+        for it in gen_manifest.items:
+            stem = os.path.splitext(it.name)[0]
+            cls = infer_class_from_name(stem, self.label_dict.keys())
+            it.cls = cls if cls is not None else next(iter(self.label_dict))
+        gen_paths = ModalityPaths(
+            keypoint_dir=cfg.paths.gen_kp_dir,
+            clip_dir=cfg.paths.gen_clip_dir,
+            dino_dir=cfg.paths.gen_dino_dir,
+            layout="generated",
+        )
+        bank = build_feature_bank(
+            gen_manifest.items, gen_paths, self.stats, self.stats.modalities
+        )
+        windows = enumerate_windows(gen_manifest, cfg.clip_len, cfg.stride)
+        enc = self._window_encoder()
+        seqs, window_tc, win_video = enc.encode_bank(bank, windows)
+        num_videos = len(gen_manifest.items)
+        tc_v = np.asarray(
+            video_tc_scores(jnp.asarray(window_tc), jnp.asarray(win_video), num_videos)
+        )
+        video_label = np.array(
+            [self.label_dict.get(c, 0) for c in bank.classes], np.int32
+        )
+        ac_v = np.asarray(
+            video_ac_scores(
+                jnp.asarray(seqs),
+                jnp.asarray(win_video),
+                jnp.asarray(video_label),
+                jnp.asarray(centroids),
+            )
+        )
+        tc_scores = {
+            gen_manifest.items[v].name: float(tc_v[v]) for v in range(num_videos)
+        }
+        ac_scores = {
+            gen_manifest.items[v].name: float(ac_v[v])
+            for v in range(num_videos)
+            if bank.classes[v] in self.label_dict
+        }
+        with open(human_path) as f:
+            human = json.load(f)
+        out = {
+            "action": correlate_with_class_fallback(
+                ac_scores, human, "ac", self.label_dict.keys()
+            ),
+            "motion": correlate_with_class_fallback(
+                tc_scores, human, "tc", self.label_dict.keys()
+            ),
+        }
+        self._log(
+            {
+                "event": "human_corr",
+                "epoch": epoch,
+                "action_spearman": out["action"]["spearman"],
+                "motion_spearman": out["motion"]["spearman"],
+            }
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        for epoch in range(self.cfg.epochs):
+            avg_loss = self.train_one_epoch(epoch)
+            centroids = self.evaluate_centroids()
+            eval_loss, _comps = self.evaluate_test_loss(epoch)
+            if eval_loss < self.best_eval_loss:
+                self.best_eval_loss = eval_loss
+                ckpt = os.path.join(
+                    self.save_dir, f"best_eval_epoch{epoch + 1:03d}"
+                )
+                save_params(ckpt, self.state.params)
+                self.best_ckpt = ckpt
+                self._log({"event": "checkpoint", "epoch": epoch, "loss": eval_loss})
+            self.evaluate_centroid_distance(epoch, centroids)
+            self.evaluate_human_corr(epoch, centroids)
