@@ -1,0 +1,112 @@
+"""Extraction pipeline e2e: tiny networks on synthetic frame stacks, npz
+contract, resumable ledgers, bug-compat keypoint frame dropping."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video_gen_evals_tpu.models.detector import DetectorConfig
+from video_gen_evals_tpu.models.pose2d import PoseNetConfig
+from video_gen_evals_tpu.models.smpl_head import SMPLHeadConfig
+from video_gen_evals_tpu.models.vit import ViTConfig
+from video_gen_evals_tpu.pipelines.extract import Extractor, ExtractorConfig
+
+
+def tiny_extractor(**kw) -> Extractor:
+    cfg = ExtractorConfig(
+        det=DetectorConfig(input_hw=(64, 64), widths=(8, 16, 24, 32), max_detections=4),
+        vit=ViTConfig(img_size=(32, 24), patch_size=8, embed_dim=32, depth=1, num_heads=4),
+        head=SMPLHeadConfig(
+            dim=32, context_dim=32, depth=1, heads=2, dim_head=8, mlp_dim=32,
+            token_num=2, token_class_num=8, token_code_dim=4,
+        ),
+        pose=PoseNetConfig(input_hw=(32, 24), widths=(8, 16, 24, 32)),
+        frame_batch=8,
+        min_single_ratio=0.0,   # random-weight detector: accept whatever it finds
+        **kw,
+    )
+    return Extractor(cfg)
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    return tiny_extractor()
+
+
+def test_process_video_contract(extractor, rng):
+    frames = rng.integers(0, 255, size=(10, 48, 40, 3)).astype(np.uint8)
+    out = extractor.process_video(frames)
+    if out is None:
+        pytest.skip("random detector found no single-person frames")
+    Tv = out["frame_idx"].shape[0]
+    assert 0 < Tv <= 10
+    assert out["pose"].shape == (Tv, 23, 3, 3)
+    assert out["betas"].shape == (Tv, 10)
+    assert out["global_orient"].shape == (Tv, 1, 3, 3)
+    assert out["vit"].shape == (Tv, 32)
+    assert np.isfinite(out["vit"]).all()
+
+
+def test_process_video_keypoints_contract(extractor, rng):
+    frames = rng.integers(0, 255, size=(6, 48, 40, 3)).astype(np.uint8)
+    kp = extractor.process_video_keypoints(frames)
+    assert kp["kp120"].shape == (6, 120)
+    assert kp["valid"].shape == (6,)
+    assert kp["valid"].dtype == bool
+
+
+def test_run_tree_resumable(extractor, rng, tmp_path):
+    # synthetic "videos" as .npy frame stacks
+    tree = tmp_path / "videos"
+    for action in ("JumpingJack", "PushUps"):
+        d = tree / action
+        d.mkdir(parents=True)
+        for i in range(2):
+            frames = rng.integers(0, 255, size=(9, 48, 40, 3)).astype(np.uint8)
+            np.save(d / f"v{i}.npy", frames)
+
+    out_meshes = str(tmp_path / "meshes")
+    out_kps = str(tmp_path / "kps")
+    logs = str(tmp_path / "logs")
+    counts1 = extractor.run_tree(
+        str(tree), out_meshes, logs, kp_out_root=out_kps, frame_loader=np.load
+    )
+    assert counts1["single"] + counts1["not_single"] + counts1["errors"] == 4
+    assert counts1["skipped"] == 0
+
+    # every "single" video produced a valid npz per the extraction contract
+    produced = []
+    for action in ("JumpingJack", "PushUps"):
+        d = os.path.join(out_meshes, action)
+        if os.path.isdir(d):
+            produced.extend(os.path.join(d, f) for f in os.listdir(d))
+    assert len(produced) == counts1["single"]
+    for p in produced:
+        npz = np.load(p, allow_pickle=False)
+        assert set(npz.files) >= {"pose", "betas", "global_orient", "vit", "frame_idx", "meta"}
+        assert npz["pose"].shape[1:] == (23, 3, 3)
+
+    # second run: everything skipped via ledgers (resume semantics)
+    counts2 = extractor.run_tree(
+        str(tree), out_meshes, logs, kp_out_root=out_kps, frame_loader=np.load
+    )
+    assert counts2["skipped"] == 4
+    assert counts2["single"] == counts2["not_single"] == counts2["errors"] == 0
+
+
+def test_run_tree_error_isolation(extractor, tmp_path):
+    tree = tmp_path / "videos"
+    d = tree / "JumpingJack"
+    d.mkdir(parents=True)
+    np.save(d / "bad.npy", np.zeros(3, np.float32))  # wrong shape -> error
+
+    counts = extractor.run_tree(
+        str(tree), str(tmp_path / "m"), str(tmp_path / "l"), frame_loader=np.load
+    )
+    assert counts["errors"] == 1
+    import json
+
+    with open(tmp_path / "l" / "errors" / "JumpingJack.json") as f:
+        errs = json.load(f)
+    assert "bad.npy" in errs

@@ -1,0 +1,102 @@
+"""Batched image ops for the extraction pipeline: box crop + bilinear resize
+and normalization, as fused XLA gathers.
+
+Capability parity with the reference's per-frame host preprocessing
+(``ViTDetDataset`` crops feeding TokenHMR, ref ``mesh_generator.py:122-143``;
+DWPose 256x192 top-down crops). The reference crops one box at a time with
+OpenCV on the CPU; here a whole (video x frame) batch of boxes is cropped,
+resized and normalized on device in one program.
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img [H, W, C]`` at float coords ``ys/xs [h, w]`` (edge clamp)."""
+    H, W, _ = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+
+    def g(yy, xx):
+        return img[yy, xx]
+
+    v00 = g(y0, x0)
+    v01 = g(y0, x1)
+    v10 = g(y1, x0)
+    v11 = g(y1, x1)
+    wy = wy[..., None]
+    wx = wx[..., None]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def crop_resize(
+    img: jnp.ndarray,                # [H, W, C] float
+    box_cxcywh: jnp.ndarray,         # [4]: center x, center y, width, height (pixels)
+    out_hw: T.Tuple[int, int],
+) -> jnp.ndarray:
+    """Crop the given box and resize to ``out_hw`` with bilinear sampling.
+    Pixel-center convention: output pixel i maps to
+    ``box_start + (i + 0.5) * box_extent / out - 0.5``."""
+    oh, ow = out_hw
+    cx, cy, w, h = box_cxcywh[0], box_cxcywh[1], box_cxcywh[2], box_cxcywh[3]
+    x0 = cx - w / 2.0
+    y0 = cy - h / 2.0
+    ys = y0 + (jnp.arange(oh, dtype=img.dtype) + 0.5) * (h / oh) - 0.5
+    xs = x0 + (jnp.arange(ow, dtype=img.dtype) + 0.5) * (w / ow) - 0.5
+    ys = jnp.broadcast_to(ys[:, None], (oh, ow))
+    xs = jnp.broadcast_to(xs[None, :], (oh, ow))
+    return bilinear_sample(img, ys, xs)
+
+
+def batched_person_crops(
+    frames: jnp.ndarray,             # [N, H, W, 3] float32 (RGB, 0..255)
+    boxes_xyxy: jnp.ndarray,         # [N, 4] person boxes (pixels)
+    out_hw: T.Tuple[int, int] = (256, 192),
+    aspect_expand: bool = True,
+    scale: float = 1.0,
+    mean: T.Optional[jnp.ndarray] = None,
+    std: T.Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Expand each box to the target aspect ratio, crop, resize, normalize.
+
+    Mirrors top-down pose/mesh preprocessing: the box is expanded (not
+    squashed) to match ``out_hw``'s aspect ratio around its center, optionally
+    scaled, then bilinearly resized; mean/std are per-channel (0..255 scale).
+    """
+    oh, ow = out_hw
+    x0, y0, x1, y1 = (
+        boxes_xyxy[:, 0],
+        boxes_xyxy[:, 1],
+        boxes_xyxy[:, 2],
+        boxes_xyxy[:, 3],
+    )
+    cx = (x0 + x1) / 2.0
+    cy = (y0 + y1) / 2.0
+    w = (x1 - x0) * scale
+    h = (y1 - y0) * scale
+    if aspect_expand:
+        target = ow / oh
+        w = jnp.where(w / jnp.maximum(h, 1e-6) > target, w, h * target)
+        h = jnp.where(w / jnp.maximum(h, 1e-6) >= target, w / target, h)
+    boxes = jnp.stack([cx, cy, w, h], axis=1)
+
+    crops = jax.vmap(lambda im, b: crop_resize(im, b, out_hw))(frames, boxes)
+    if mean is not None:
+        crops = (crops - mean) / std
+    return crops

@@ -89,3 +89,20 @@ def axis_angle_delta(aa: jnp.ndarray) -> jnp.ndarray:
     R0 = axis_angle_to_matrix(a_prev)
     R_rel = jnp.swapaxes(R0, -1, -2) @ R
     return log_so3(R_rel).reshape(T, D)
+
+
+def rot6d_to_rotmat(x: jnp.ndarray) -> jnp.ndarray:
+    """6D rotation representation -> rotation matrix (Zhou et al.), as used by
+    TokenHMR's decoder head (ref ``modifications/token_head.py:227-231``).
+
+    ``x``: ``[..., 6]`` (two 3-vectors, column convention) -> ``[..., 3, 3]``.
+    Columns: b1 = norm(a1); b2 = norm(a2 - (b1.a2) b1); b3 = b1 x b2.
+    """
+    a1 = x[..., 0:3]
+    a2 = x[..., 3:6]
+    eps = 1e-12
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), eps)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), eps)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)

@@ -1,0 +1,365 @@
+"""Feature extraction pipeline: video frames -> SMPL mesh params + token_out
+("vit" modality) + 2D whole-body keypoints, batched on device.
+
+Capability parity with ref ``extract_mesh.py`` + ``modifications/
+{mesh_generator,process_video}.py`` (C25-C29 in SURVEY.md), redesigned
+TPU-first:
+
+reference (per video):                      this pipeline (per video):
+  per-frame detectron2 call (Python loop)     ONE batched detector forward
+  per-frame crop on CPU                       batched crop+resize on device
+  TokenHMR forwards in chunks of 8            ONE batched mesh forward
+  DWPose ONNX per frame                       ONE batched pose forward
+  frames silently dropped                     fixed shapes + validity masks,
+                                              compacted only at npz-write time
+
+Filtering semantics are exact: a frame is kept iff exactly one person box
+scores > 0.5 (ref ``mesh_generator.py:103-111``); the video is rejected if
+< 80% of frames qualify (ref ``:113-117``); keypoints keep only frames
+passing the 18-body+both-hands rule (ref ``process_video.py:23-57``) in
+bug-compat mode (the reference's mesh/kp misalignment), or all frames with a
+mask otherwise.
+
+Extraction is resumable via per-action JSON ledgers (ref
+``extract_mesh.py:121-194``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import typing as T
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.detector import (
+    DetectorConfig,
+    YOLOXLiteDetector,
+    person_detections,
+    single_person_mask,
+)
+from ..models.pose2d import (
+    PoseNetConfig,
+    SimCCPoseNet,
+    dwpose_postprocess,
+    flatten_first_person,
+    wholebody_to_openpose,
+)
+from ..models.smpl_head import SMPLHeadConfig, SMPLTokenDecoderHead
+from ..models.vit import ViTBackbone, ViTConfig
+from ..ops.image import batched_person_crops, crop_resize
+from ..utils.io import ResumableLedger, save_video_npz
+
+# ImageNet-ish crop normalization (0..255 scale), matching top-down defaults
+_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+@dataclasses.dataclass
+class ExtractorConfig:
+    det: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
+    vit: ViTConfig = dataclasses.field(default_factory=ViTConfig)
+    head: SMPLHeadConfig = dataclasses.field(default_factory=SMPLHeadConfig)
+    pose: PoseNetConfig = dataclasses.field(default_factory=PoseNetConfig)
+    frame_batch: int = 32
+    det_score_thresh: float = 0.5
+    min_single_ratio: float = 0.8
+    crop_scale: float = 1.2
+    kp_bug_compat: bool = True   # drop invalid kp frames like the reference
+
+
+class Extractor:
+    """Batched detector + mesh net + pose net with jitted stages."""
+
+    def __init__(self, config: T.Optional[ExtractorConfig] = None, params=None, rng=None):
+        self.cfg = config or ExtractorConfig()
+        cfg = self.cfg
+        self.detector = YOLOXLiteDetector(cfg.det)
+        self.backbone = ViTBackbone(cfg.vit)
+        self.head = SMPLTokenDecoderHead(cfg.head)
+        self.pose_net = SimCCPoseNet(cfg.pose)
+
+        if params is None:
+            rng = rng if rng is not None else jax.random.key(0)
+            k1, k2, k3, k4 = jax.random.split(rng, 4)
+            dh, dw = cfg.det.input_hw
+            ch, cw = cfg.vit.img_size
+            ph, pw = cfg.pose.input_hw
+            params = {
+                "det": self.detector.init(k1, jnp.zeros((1, dh, dw, 3)))["params"],
+                "vit": self.backbone.init(k2, jnp.zeros((1, ch, cw, 3)))["params"],
+                "head": self.head.init(
+                    k3, jnp.zeros((1, cfg.vit.num_patches, cfg.vit.embed_dim))
+                )["params"],
+                "pose": self.pose_net.init(k4, jnp.zeros((1, ph, pw, 3)))["params"],
+            }
+        self.params = params
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _build_jits(self) -> None:
+        cfg = self.cfg
+        dh, dw = cfg.det.input_hw
+
+        @jax.jit
+        def detect(params, frames_f32, frame_wh):
+            # resize full frames to detector input (device-side)
+            W, H = frame_wh
+            full_box = jnp.stack([W / 2.0, H / 2.0, W, H])
+            det_in = jax.vmap(lambda f: crop_resize(f, full_box, (dh, dw)))(frames_f32)
+            det_in = (det_in - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
+            raw = self.detector.apply({"params": params}, det_in)
+            boxes, scores, valid = person_detections(
+                raw, score_thresh=cfg.det_score_thresh
+            )
+            # boxes are in detector-input coords; map back to frame coords
+            sx = W / dw
+            sy = H / dh
+            boxes = boxes * jnp.stack([sx, sy, sx, sy]).astype(boxes.dtype)
+            single = single_person_mask(valid)
+            # the single person's box (argmax score among valid)
+            best = jnp.argmax(jnp.where(valid, scores, -1.0), axis=-1)
+            box1 = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
+            return box1, single
+
+        @jax.jit
+        def mesh_forward(params_vit, params_head, frames_f32, boxes_xyxy):
+            crops = batched_person_crops(
+                frames_f32,
+                boxes_xyxy,
+                out_hw=cfg.vit.img_size,
+                scale=cfg.crop_scale,
+                mean=jnp.asarray(_MEAN),
+                std=jnp.asarray(_STD),
+            )
+            tokens, _fmap = self.backbone.apply({"params": params_vit}, crops)
+            return self.head.apply({"params": params_head}, tokens)
+
+        @jax.jit
+        def pose_forward(params_pose, frames_f32, boxes_xyxy, frame_wh):
+            ph, pw = cfg.pose.input_hw
+            crops = batched_person_crops(
+                frames_f32,
+                boxes_xyxy,
+                out_hw=(ph, pw),
+                scale=cfg.crop_scale,
+                mean=jnp.asarray(_MEAN),
+                std=jnp.asarray(_STD),
+            )
+            kps_crop, scores = self.pose_net.apply({"params": params_pose}, crops)
+            # map crop coords -> frame coords (inverse of crop_resize mapping)
+            x0, y0, x1, y1 = (
+                boxes_xyxy[:, 0],
+                boxes_xyxy[:, 1],
+                boxes_xyxy[:, 2],
+                boxes_xyxy[:, 3],
+            )
+            cx = (x0 + x1) / 2
+            cy = (y0 + y1) / 2
+            w = (x1 - x0) * cfg.crop_scale
+            h = (y1 - y0) * cfg.crop_scale
+            # match batched_person_crops aspect expansion
+            target = pw / ph
+            w_e = jnp.where(w / jnp.maximum(h, 1e-6) > target, w, h * target)
+            h_e = jnp.where(w / jnp.maximum(h, 1e-6) >= target, w / target, h)
+            bx0 = cx - w_e / 2
+            by0 = cy - h_e / 2
+            xf = bx0[:, None] + (kps_crop[..., 0] + 0.5) * (w_e[:, None] / pw) - 0.5
+            yf = by0[:, None] + (kps_crop[..., 1] + 0.5) * (h_e[:, None] / ph) - 0.5
+            kps134, sc134 = wholebody_to_openpose(
+                jnp.stack([xf, yf], axis=-1), scores
+            )
+            return kps134, sc134
+
+        self._detect = detect
+        self._mesh_forward = mesh_forward
+        self._pose_forward = pose_forward
+
+    # ------------------------------------------------------------------
+    def _batched(self, fn, frames: np.ndarray, *extra):
+        """Run a jitted per-frame-stack fn in fixed-size chunks (pad tail)."""
+        B = self.cfg.frame_batch
+        n = frames.shape[0]
+        outs = []
+        for lo in range(0, n, B):
+            chunk = frames[lo : lo + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            extras = []
+            for e in extra:
+                ce = e[lo : lo + B]
+                if pad:
+                    ce = np.concatenate([ce, np.repeat(ce[-1:], pad, axis=0)])
+                extras.append(jnp.asarray(ce))
+            out = fn(jnp.asarray(chunk), *extras)
+            out = jax.tree_util.tree_map(np.asarray, out)
+            if pad:
+                out = jax.tree_util.tree_map(lambda x: x[:-pad], out)
+            outs.append(out)
+        return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *outs)
+
+    # ------------------------------------------------------------------
+    def process_video(self, frames: np.ndarray) -> T.Optional[T.Dict[str, np.ndarray]]:
+        """Mesh extraction for one video (ref ``mesh_generator.process_video``).
+
+        ``frames``: [T, H, W, 3] uint8 RGB. Returns dict of per-valid-frame
+        arrays + ``frame_idx`` or None if the video fails the single-person
+        ratio test.
+        """
+        Tn, H, W, _ = frames.shape
+        frames_f32 = frames.astype(np.float32)
+        wh = (jnp.float32(W), jnp.float32(H))
+        box1, single = self._batched(
+            lambda f: self._detect(self.params["det"], f, wh), frames_f32
+        )
+        single = np.asarray(single)
+        if single.sum() == 0 or single.mean() < self.cfg.min_single_ratio:
+            return None
+
+        out = self._batched(
+            lambda f, b: self._mesh_forward(
+                self.params["vit"], self.params["head"], f, b
+            ),
+            frames_f32,
+            np.asarray(box1),
+        )
+        keep = np.where(single)[0]
+        return {
+            "pose": out["body_pose"][keep],
+            "betas": out["betas"][keep],
+            "global_orient": out["global_orient"][keep],
+            "vit": out["token_out"][keep],
+            "frame_idx": keep.astype(np.int32),
+        }
+
+    def process_video_keypoints(self, frames: np.ndarray) -> T.Dict[str, np.ndarray]:
+        """Whole-body keypoints for one video (ref ``process_video.py``).
+
+        Returns ``{"kp120": [T,120], "valid": [T]}``; in bug-compat mode the
+        caller saves only valid rows (reference frame-dropping)."""
+        Tn, H, W, _ = frames.shape
+        frames_f32 = frames.astype(np.float32)
+        wh = (jnp.float32(W), jnp.float32(H))
+        box1, single = self._batched(
+            lambda f: self._detect(self.params["det"], f, wh), frames_f32
+        )
+        kps134, sc134 = self._batched(
+            lambda f, b: self._pose_forward(self.params["pose"], f, b, wh),
+            frames_f32,
+            np.asarray(box1),
+        )
+
+        kp120 = np.zeros((Tn, 120), np.float32)
+        valid = np.zeros(Tn, bool)
+        for t in range(Tn):
+            post = dwpose_postprocess(
+                jnp.asarray(kps134[t : t + 1]), jnp.asarray(sc134[t : t + 1]), wh
+            )
+            k, v = flatten_first_person(post)
+            kp120[t] = np.asarray(k)
+            valid[t] = bool(v) and bool(np.asarray(single)[t])
+        return {"kp120": kp120, "valid": valid}
+
+    # ------------------------------------------------------------------
+    def run_tree(
+        self,
+        video_tree: str,
+        out_root: str,
+        log_dir: str,
+        kp_out_root: T.Optional[str] = None,
+        actions: T.Optional[T.List[str]] = None,
+        frame_loader: T.Optional[T.Callable[[str], np.ndarray]] = None,
+    ) -> T.Dict[str, int]:
+        """Resumable extraction over ``<video_tree>/<action>/*.{mp4,avi,mkv}``
+        (ref ``extract_mesh.py:150-241``)."""
+        from ..utils.io import load_all_frames
+
+        loader = frame_loader or load_all_frames
+        all_actions = sorted(
+            d for d in os.listdir(video_tree)
+            if os.path.isdir(os.path.join(video_tree, d))
+        )
+        if actions:
+            missing = [a for a in actions if a not in all_actions]
+            if missing:
+                raise ValueError(f"Actions not found under {video_tree}: {missing}")
+            all_actions = actions
+
+        counts = {"single": 0, "not_single": 0, "errors": 0, "skipped": 0}
+        exts = (".mp4", ".avi", ".mkv", ".npy")
+        for action in all_actions:
+            action_dir = os.path.join(video_tree, action)
+            ledger = ResumableLedger(log_dir, action)
+            processed = ledger.processed()
+            for video in sorted(
+                f for f in os.listdir(action_dir) if f.lower().endswith(exts)
+            ):
+                if video in processed:
+                    counts["skipped"] += 1
+                    continue
+                stem = os.path.splitext(video)[0]
+                try:
+                    frames = loader(os.path.join(action_dir, video))
+                    mesh = self.process_video(frames)
+                    if mesh is not None:
+                        save_video_npz(
+                            out_root,
+                            os.path.join(action, stem),
+                            mesh["pose"],
+                            mesh["betas"],
+                            mesh["global_orient"],
+                            mesh["vit"],
+                            mesh["frame_idx"],
+                            meta={"action": action, "video": video},
+                        )
+                        if kp_out_root is not None:
+                            kp = self.process_video_keypoints(frames)
+                            rows = (
+                                kp["kp120"][kp["valid"]]
+                                if self.cfg.kp_bug_compat
+                                else kp["kp120"]
+                            )
+                            kp_dir = os.path.join(kp_out_root, action, stem)
+                            os.makedirs(kp_dir, exist_ok=True)
+                            np.save(
+                                os.path.join(kp_dir, "keypoints.npy"),
+                                rows.astype(np.float32),
+                            )
+                        ledger.record(video, "single")
+                        counts["single"] += 1
+                    else:
+                        ledger.record(video, "not_single")
+                        counts["not_single"] += 1
+                except Exception as e:  # per-video fault isolation (ref :232-236)
+                    ledger.record(video, "errors", str(e))
+                    counts["errors"] += 1
+        return counts
+
+
+def main(argv: T.Optional[T.List[str]] = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Batched mesh/keypoint extraction")
+    p.add_argument("--videos", required=True, help="root of <action>/<video> tree")
+    p.add_argument("--out-meshes", default="real_meshes")
+    p.add_argument("--out-kps", default=None)
+    p.add_argument("--log-dir", default="EXTRACTION_LOGS")
+    p.add_argument("--action", default=None)
+    args = p.parse_args(argv)
+
+    ex = Extractor()
+    counts = ex.run_tree(
+        args.videos,
+        args.out_meshes,
+        args.log_dir,
+        kp_out_root=args.out_kps,
+        actions=[args.action] if args.action else None,
+    )
+    print(counts)
+
+
+if __name__ == "__main__":
+    main()
