@@ -91,8 +91,14 @@ def load_video_arrays(
 
     Missing keypoints with ``strict_kp`` raise (ref ``utils.py:416-417``);
     clip/dino are skipped silently (ref ``utils.py:427-452``).
+
+    Mesh npz files are read through the native C++ reader when built
+    (``native/libvge_native.so``: mmap + direct-inflate + thread pool),
+    falling back to ``np.load`` transparently.
     """
-    npz = np.load(item.path)
+    from ..utils.native_npz import load_npz
+
+    npz = load_npz(item.path)
     Tlen = npz["pose"].shape[0]
     out: T.Dict[str, np.ndarray] = {
         "vit": npz["vit"].astype(np.float32),
