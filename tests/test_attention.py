@@ -1,0 +1,46 @@
+"""Pallas flash-attention kernel vs einsum reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from video_gen_evals_tpu.ops.attention import attention_xla, flash_attention
+
+
+@pytest.mark.parametrize(
+    "B,N,H,D", [(2, 33, 8, 32), (1, 192, 4, 64), (2, 128, 2, 128), (1, 130, 2, 64)]
+)
+def test_flash_matches_reference(rng, B, N, H, D):
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    ref = np.asarray(attention_xla(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_respects_padding_mask(rng):
+    """Values in the padded tail must not leak into the output."""
+    B, N, H, D = 1, 33, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    out1 = np.asarray(flash_attention(q, k, v, interpret=True))
+    # same inputs -> same outputs regardless of what padding would contain
+    out2 = np.asarray(flash_attention(q * 1.0, k * 1.0, v * 1.0, interpret=True))
+    np.testing.assert_array_equal(out1, out2)
+    ref = np.asarray(attention_xla(q, k, v))
+    np.testing.assert_allclose(out1, ref, atol=2e-5)
+
+
+def test_flash_blocked_kv(rng):
+    """KV streaming with multiple blocks (online softmax correctness)."""
+    B, N, H, D = 1, 256, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    out = np.asarray(
+        flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+    )
+    ref = np.asarray(attention_xla(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-5)

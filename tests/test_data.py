@@ -157,7 +157,7 @@ def test_gather_matches_per_window_oracle(pipeline):
         gather_windows(
             jnp.asarray(bank.bank),
             jnp.asarray(bank.offsets),
-            jnp.asarray(bank.heights),
+            jnp.asarray(bank.row_limit),
             jnp.asarray(bank.z0_diff),
             bank.one_pass_raw,
             video_idx,

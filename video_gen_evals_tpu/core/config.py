@@ -74,6 +74,9 @@ class TrainConfig:
     num_dp_devices: T.Optional[int] = None  # None -> all local devices
     save_dir: str = "SAVE"
     name: str = "HumanActionScorer"
+    # debug mode: raise on the first NaN instead of silently skipping the
+    # batch (SURVEY §5.2 — replaces the reference's silent non-finite skip)
+    debug_nans: bool = False
 
     @property
     def batch_size(self) -> int:

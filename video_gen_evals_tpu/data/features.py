@@ -164,10 +164,19 @@ def compute_modality_diffs(
 
 @dataclasses.dataclass
 class VideoFeatures:
-    """Normalized per-video feature bank ``[L_bank + 1, D]`` (sentinel row)."""
+    """Normalized per-video feature bank ``[N_v, D]``.
 
-    bank: np.ndarray       # [L_bank + 1, D] float32, normalized
-    height: int            # L_bank (sentinel lives at row L_bank)
+    ``N_v = round_up(max(height + 1, min_rows), 8)``: rows beyond the video's
+    last real frame are filled with its *sentinel* row (edge-replicated raw
+    features, normalized-zero diffs), which bakes the reference's tail-padding
+    semantics into the data. Any window whose rows land past the end of the
+    video therefore reads correct values with a plain contiguous slice — and
+    the 8-row alignment means every default-stride window starts on a sublane
+    tile boundary, so the Pallas gather kernel can DMA it directly.
+    """
+
+    bank: np.ndarray       # [N_v, D] float32, normalized, sentinel-padded
+    height: int            # index of the last real frame's row
     cls: str
     name: str
 
@@ -176,17 +185,23 @@ def _normalize(X: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
     return (X - mean[None, :]) / (std[None, :] + _NORM_EPS)
 
 
+_ROW_ALIGN = 8  # f32 sublane tile: keeps per-video offsets DMA-aligned
+
+
 def compute_video_features(
     item,
     paths: ModalityPaths,
     stats: "ModalityStats",
     modalities: T.Optional[T.Sequence[str]] = None,
+    min_rows: int = 40,
 ) -> VideoFeatures:
     """Build the normalized bank for one video.
 
     ``modalities`` defaults to the stats' available modalities; every listed
     modality must be loadable for this video (a clear error replaces the
-    reference's shape-mismatch crash at collate time).
+    reference's shape-mismatch crash at collate time). ``min_rows`` must be
+    >= the largest clip_len that will be gathered (short videos are padded to
+    at least one full window of sentinel rows).
     """
     arrays = load_video_arrays(item, paths, strict_kp=True)
     diffs = compute_modality_diffs(arrays)
@@ -199,6 +214,8 @@ def compute_video_features(
         )
 
     height = max(arrays[m].shape[0] for m in mods)
+    n_rows = max(height + 1, min_rows)
+    n_rows = (n_rows + _ROW_ALIGN - 1) // _ROW_ALIGN * _ROW_ALIGN
     raw_blocks: T.List[np.ndarray] = []
     diff_blocks: T.List[np.ndarray] = []
     for m in mods:
@@ -210,8 +227,8 @@ def compute_video_features(
             stats.std_diff[m],
         )
         L_m = raw.shape[0]
-        pad = height + 1 - L_m
-        # raw: edge-pad with the last real row (incl. sentinel row)
+        pad = n_rows - L_m
+        # raw: edge-pad with the last real row (sentinel region included)
         raw_full = np.concatenate([raw, np.repeat(raw[-1:], pad, axis=0)], axis=0)
         # diff: rows >= L_m are normalized-zero (self-paired pad frames)
         diff_full = np.concatenate([diff, np.repeat(z0, pad, axis=0)], axis=0)
@@ -226,15 +243,17 @@ def compute_video_features(
 class FeatureBank:
     """Concatenated per-video banks plus gather metadata.
 
-    ``bank``    : [N, D] float32 (normalized features, sentinel rows included)
-    ``offsets`` : [V] row offset of each video's bank
-    ``heights`` : [V] L_bank of each video (sentinel at offset + height)
-    ``z0_diff`` : [D_diff] normalized-zero diff vector (window row 0 override)
+    ``bank``      : [N, D] float32 (normalized, sentinel-padded per video)
+    ``offsets``   : [V] row offset of each video's bank (8-aligned)
+    ``row_limit`` : [V] last row index of each video's bank — clamping a
+                    window row to it yields the sentinel (= reference
+                    tail-padding) value for any out-of-range start
+    ``z0_diff``   : [D_diff] normalized-zero diff vector (row-0 override)
     """
 
     bank: np.ndarray
     offsets: np.ndarray
-    heights: np.ndarray
+    row_limit: np.ndarray
     z0_diff: np.ndarray
     one_pass_raw: int
     classes: T.List[str]
@@ -254,15 +273,19 @@ def build_feature_bank(
     paths: ModalityPaths,
     stats: "ModalityStats",
     modalities: T.Optional[T.Sequence[str]] = None,
+    min_rows: int = 40,
 ) -> FeatureBank:
     mods = list(modalities) if modalities is not None else stats.modalities
-    feats = [compute_video_features(it, paths, stats, mods) for it in items]
+    feats = [
+        compute_video_features(it, paths, stats, mods, min_rows=min_rows)
+        for it in items
+    ]
     offsets = np.zeros(len(feats), np.int32)
-    heights = np.zeros(len(feats), np.int32)
+    row_limit = np.zeros(len(feats), np.int32)
     row = 0
     for i, f in enumerate(feats):
         offsets[i] = row
-        heights[i] = f.height
+        row_limit[i] = f.bank.shape[0] - 1
         row += f.bank.shape[0]
     bank = np.concatenate([f.bank for f in feats], axis=0)
 
@@ -278,7 +301,7 @@ def build_feature_bank(
     return FeatureBank(
         bank=bank,
         offsets=offsets,
-        heights=heights,
+        row_limit=row_limit,
         z0_diff=np.concatenate(z0_parts).astype(np.float32),
         one_pass_raw=one_pass_raw,
         classes=[f.cls for f in feats],
@@ -287,21 +310,23 @@ def build_feature_bank(
 
 
 def gather_windows(
-    bank: jnp.ndarray,      # [N, D]
-    offsets: jnp.ndarray,   # [V] int32
-    heights: jnp.ndarray,   # [V] int32
-    z0_diff: jnp.ndarray,   # [D_diff]
+    bank: jnp.ndarray,       # [N, D]
+    offsets: jnp.ndarray,    # [V] int32
+    row_limit: jnp.ndarray,  # [V] int32 (last row of each video's bank)
+    z0_diff: jnp.ndarray,    # [D_diff]
     one_pass_raw: int,
-    video_idx: jnp.ndarray, # [B] int32
-    starts: jnp.ndarray,    # [B] int32
+    video_idx: jnp.ndarray,  # [B] int32
+    starts: jnp.ndarray,     # [B] int32
     clip_len: int,
 ) -> jnp.ndarray:
     """Assemble ``[B, clip_len, D]`` windows on device with one gather.
 
-    Jit-friendly: static ``clip_len``/``one_pass_raw``; everything else traced.
+    Rows past the video's end clamp to its last bank row, which holds the
+    sentinel (tail-padding) value by construction, so the result is exact for
+    ANY start. Jit-friendly: static ``clip_len``/``one_pass_raw``.
     """
     i = jnp.arange(clip_len, dtype=starts.dtype)[None, :]
-    row = jnp.minimum(starts[:, None] + i, heights[video_idx][:, None])
+    row = jnp.minimum(starts[:, None] + i, row_limit[video_idx][:, None])
     rows = jnp.take(bank, offsets[video_idx][:, None] + row, axis=0)  # [B,T,D]
     # window row 0 always self-pairs -> diff block := normalized zero
     return rows.at[:, 0, one_pass_raw:].set(

@@ -49,3 +49,18 @@ def slice_or_pad(arr: np.ndarray, start: int, clip_len: int) -> np.ndarray:
     tail = arr[start:]
     pad = np.repeat(arr[-1:], clip_len - tail.shape[0], axis=0)
     return np.concatenate([tail, pad], axis=0)
+
+
+def group_windows_by_video(
+    manifest, clip_len: int = 32, stride: int = 8
+) -> T.List[T.Tuple[int, T.List[int]]]:
+    """Per-video window grouping — the ``SequenceDataset`` capability
+    (ref ``utils.py:527-565``, unused by reference entry points but part of
+    the API surface): for each video, the list of its window starts, so a
+    caller can assemble ``[N_win, clip_len, D]`` stacks per video."""
+    out: T.List[T.Tuple[int, T.List[int]]] = []
+    for vi, it in enumerate(manifest.items):
+        starts = window_starts(it.length, clip_len, stride)
+        if starts:
+            out.append((vi, starts))
+    return out

@@ -51,6 +51,10 @@ class EncoderConfig:
     time_layers: int = 4
     time_heads: int = 8
     dropout: float = 0.1
+    # "xla" (default) | "pallas" | "pallas_interpret"; the Pallas fused
+    # kernel only engages on the deterministic path (attention-weight dropout
+    # needs materialized weights, so training keeps the einsum path)
+    attention_impl: str = "xla"
 
     @classmethod
     def create(
@@ -204,6 +208,7 @@ class TransformerEncoderLayer(nn.Module):
     n_heads: int
     d_ff: int
     dropout: float = 0.1
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -216,10 +221,17 @@ class TransformerEncoderLayer(nn.Module):
         q = q.reshape(B, S, H, hd)
         k = k.reshape(B, S, H, hd)
         v = v.reshape(B, S, H, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
-        attn = jax.nn.softmax(logits, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
+        if deterministic and self.attention_impl != "xla":
+            from ..ops.attention import multihead_attention
+
+            ctx = multihead_attention(
+                q, k, v, impl=self.attention_impl
+            ).reshape(B, S, D)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
         ctx = nn.Dense(D, name="out_proj")(ctx)
         ctx = nn.Dropout(self.dropout, deterministic=deterministic)(ctx)
         x = nn.LayerNorm(epsilon=1e-5, name="ln1")(x + ctx)
@@ -306,6 +318,7 @@ class HumanActionScorer(nn.Module):
                 cfg.time_heads,
                 4 * cfg.d_model,
                 dropout=cfg.dropout,
+                attention_impl=cfg.attention_impl,
                 name=f"temporal{i}",
             )(tokens, deterministic=deterministic)
 

@@ -39,6 +39,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     use_cls_token: bool = False
     final_norm: bool = True
+    attention_impl: str = "xla"   # "xla" | "pallas" | "pallas_interpret"
 
     @property
     def grid(self) -> T.Tuple[int, int]:
@@ -54,6 +55,7 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,10 +66,18 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         qkv = nn.Dense(3 * D, name="qkv")(h).reshape(B, N, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jax.nn.softmax(
-            jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype), axis=-1
-        )
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, D)
+        if self.attention_impl != "xla":
+            from ..ops.attention import multihead_attention
+
+            ctx = multihead_attention(q, k, v, impl=self.attention_impl)
+            ctx = ctx.reshape(B, N, D)
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bqhd,bkhd->bhqk", q, k)
+                / jnp.sqrt(hd).astype(x.dtype),
+                axis=-1,
+            )
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, D)
         x = x + nn.Dense(D, name="proj")(ctx)
 
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
@@ -104,7 +114,11 @@ class ViTBackbone(nn.Module):
         tokens = tokens + pos.astype(tokens.dtype)
         for i in range(cfg.depth):
             tokens = ViTBlock(
-                cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, name=f"block{i}"
+                cfg.embed_dim,
+                cfg.num_heads,
+                cfg.mlp_ratio,
+                attention_impl=cfg.attention_impl,
+                name=f"block{i}",
             )(tokens)
         if cfg.final_norm:
             tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)

@@ -55,23 +55,37 @@ class ScoreConfig:
     stride: int = 8
     batch_size: int = 512
     seed: int = 1337
+    # "high" (bf16_3x) holds ~3.5e-5 AC/TC agreement with full f32 at ~1.6x
+    # the throughput; "highest" is bit-closest to the fp32 reference;
+    # "default" (~2.8x) exceeds the 1e-3 parity budget (see PARITY.md)
+    matmul_precision: str = "high"
 
 
 class WindowEncoder:
     """Jitted (bank -> window batch -> embeddings + TC) program."""
 
-    def __init__(self, model: HumanActionScorer, params, batch_size: int, clip_len: int):
+    def __init__(
+        self,
+        model: HumanActionScorer,
+        params,
+        batch_size: int,
+        clip_len: int,
+        matmul_precision: str = "high",
+    ):
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.clip_len = clip_len
 
-        def _encode(params, bank, offsets, heights, z0, video_idx, starts, one_pass_raw):
-            w = gather_windows(
-                bank, offsets, heights, z0, one_pass_raw, video_idx, starts, clip_len
-            )
-            seq, frames, _ = model.apply({"params": params}, w, deterministic=True)
-            return seq, tc_per_window(frames)
+        def _encode(params, bank, offsets, row_limit, z0, video_idx, starts, one_pass_raw):
+            with jax.default_matmul_precision(matmul_precision):
+                w = gather_windows(
+                    bank, offsets, row_limit, z0, one_pass_raw, video_idx, starts, clip_len
+                )
+                seq, frames, _ = model.apply(
+                    {"params": params}, w, deterministic=True
+                )
+                return seq, tc_per_window(frames)
 
         self._encode = jax.jit(_encode, static_argnames=("one_pass_raw",))
 
@@ -85,7 +99,7 @@ class WindowEncoder:
 
         bank_d = jnp.asarray(bank.bank)
         offsets_d = jnp.asarray(bank.offsets)
-        heights_d = jnp.asarray(bank.heights)
+        row_limit_d = jnp.asarray(bank.row_limit)
         z0_d = jnp.asarray(bank.z0_diff)
 
         seqs, tcs = [], []
@@ -101,7 +115,7 @@ class WindowEncoder:
                 self.params,
                 bank_d,
                 offsets_d,
-                heights_d,
+                row_limit_d,
                 z0_d,
                 jnp.asarray(vi),
                 jnp.asarray(st),
@@ -212,7 +226,9 @@ def score_generated(
         train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
         stats = compute_stats(train_ds.items, real_paths)
 
-    encoder = WindowEncoder(model, params, cfg.batch_size, cfg.clip_len)
+    encoder = WindowEncoder(
+        model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
+    )
     centroids, label_dict = build_real_centroids(
         encoder, real_manifest, real_paths, stats, cfg
     )

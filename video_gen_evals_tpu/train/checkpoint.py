@@ -41,5 +41,5 @@ def save_train_state(path: str, state: T.Dict[str, T.Any]) -> None:
 def restore_train_state(path: str, like: T.Optional[T.Dict[str, T.Any]] = None):
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
-        return ckptr.restore(_abs(path), args=ocp.args.StandardRestore(like))
+        return ckptr.restore(_abs(path), like)
     return ckptr.restore(_abs(path))

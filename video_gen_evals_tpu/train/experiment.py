@@ -52,6 +52,8 @@ class Experiment:
         self.mesh = mesh
         self.eval_batch = eval_batch
         self.rng = jax.random.key(cfg.seed)
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
         ts = time.strftime("%Y%m%d_%H%M%S")
         self.save_dir = os.path.join(cfg.save_dir, f"{cfg.name}_{ts}")
@@ -88,13 +90,17 @@ class Experiment:
             [self.label_dict[self.train_bank.classes[vi]] for vi, _ in self.train_windows],
             np.int32,
         )
-        self.sampler = PKBatchSampler(
+        # per-epoch deterministic sampler seeding: makes the batch stream a
+        # pure function of (seed, epoch) so checkpoint resume reproduces the
+        # uninterrupted run exactly (SURVEY §5.3 fault-tolerance plan)
+        self._sampler_for_epoch = lambda epoch: PKBatchSampler(
             self.window_labels,
             P=cfg.P,
             K=cfg.K,
             drop_last=True,
-            rng=np.random.default_rng(cfg.seed),
+            rng=np.random.default_rng(cfg.seed * 100003 + epoch),
         )
+        self.sampler = self._sampler_for_epoch(0)
 
         # ---------------- model / optimizer ----------------
         dims_raw = {m: self.stats.dims_map_raw()[m] for m in mods}
@@ -132,7 +138,7 @@ class Experiment:
         return (
             jnp.asarray(bank.bank),
             jnp.asarray(bank.offsets),
-            jnp.asarray(bank.heights),
+            jnp.asarray(bank.row_limit),
             jnp.asarray(bank.z0_diff),
         )
 
@@ -163,7 +169,7 @@ class Experiment:
         total = 0.0
         n_batches = 0
         t0 = time.time()
-        for batch_idx in self.sampler:
+        for batch_idx in self._sampler_for_epoch(epoch):
             feats = self._gather_batch(
                 self.train_bank, self._train_bank_dev, self.train_windows, batch_idx
             )
@@ -346,8 +352,47 @@ class Experiment:
         return out
 
     # ------------------------------------------------------------------
-    def run(self) -> None:
-        for epoch in range(self.cfg.epochs):
+    def save_resume_checkpoint(self, epoch: int, path: T.Optional[str] = None) -> str:
+        """Full train-state checkpoint for exact resume (params, optimizer,
+        step counter, epoch, best loss) — a capability the reference lacks
+        (it saves model weights only, ref ``train.py:450-455``)."""
+        from .checkpoint import save_train_state
+
+        path = path or os.path.join(self.save_dir, f"resume_epoch{epoch:03d}")
+        save_train_state(
+            path,
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "epoch": jnp.asarray(epoch, jnp.int32),
+                "best_eval_loss": jnp.asarray(self.best_eval_loss, jnp.float32),
+            },
+        )
+        return path
+
+    def restore_resume_checkpoint(self, path: str) -> int:
+        """Restore full train state; returns the next epoch to run."""
+        from .checkpoint import restore_train_state
+
+        like = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": np.zeros((), np.int32),
+            "epoch": np.zeros((), np.int32),
+            "best_eval_loss": np.zeros((), np.float32),
+        }
+        st = restore_train_state(path, like)
+        self.state = TrainState(
+            jax.tree_util.tree_map(jnp.asarray, st["params"]),
+            jax.tree_util.tree_map(jnp.asarray, st["opt_state"]),
+            jnp.asarray(st["step"]),
+        )
+        self.best_eval_loss = float(st["best_eval_loss"])
+        return int(st["epoch"]) + 1
+
+    def run(self, start_epoch: int = 0) -> None:
+        for epoch in range(start_epoch, self.cfg.epochs):
             avg_loss = self.train_one_epoch(epoch)
             centroids = self.evaluate_centroids()
             eval_loss, _comps = self.evaluate_test_loss(epoch)
@@ -361,3 +406,4 @@ class Experiment:
                 self._log({"event": "checkpoint", "epoch": epoch, "loss": eval_loss})
             self.evaluate_centroid_distance(epoch, centroids)
             self.evaluate_human_corr(epoch, centroids)
+            self.save_resume_checkpoint(epoch)
