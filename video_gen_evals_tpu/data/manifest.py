@@ -133,13 +133,17 @@ def scan_class_tree(
 
 
 def scan_generated_flat(generated_dir: str) -> VideoManifest:
-    """Scan a flat directory of generated-mesh ``*.npz``; class inferred from
-    the filename (ref ``eval.py:48-101``)."""
+    """Scan a directory (recursively, like ref ``train.py:95-102``'s
+    ``scan_gen_flat``) of generated-mesh ``*.npz``; class inferred from the
+    filename (ref ``eval.py:48-101``)."""
+    paths: T.List[str] = []
+    for dirpath, _dirs, files in os.walk(generated_dir):
+        for f in files:
+            if f.endswith(".npz"):
+                paths.append(os.path.join(dirpath, f))
     items: T.List[VideoItem] = []
-    for f in sorted(os.listdir(generated_dir)):
-        if not f.endswith(".npz"):
-            continue
-        path = os.path.join(generated_dir, f)
+    for path in sorted(paths):
+        f = os.path.basename(path)
         stem = os.path.splitext(f)[0]
         try:
             npz = np.load(path, mmap_mode="r")

@@ -1,5 +1,17 @@
 """Parallelism: device mesh construction and sharding rules."""
 
-from .mesh import make_mesh, batch_sharding, replicated_sharding, tp_param_sharding
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    tp_param_sharding,
+    initialize_distributed,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "tp_param_sharding"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "tp_param_sharding",
+    "initialize_distributed",
+]

@@ -80,3 +80,20 @@ def tp_param_sharding(mesh: Mesh, params) -> T.Any:
         return NamedSharding(mesh, spec if ok else P())
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+def initialize_distributed(
+    coordinator_address: T.Optional[str] = None,
+    num_processes: T.Optional[int] = None,
+    process_id: T.Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (SURVEY §5.8): joins this process to the global
+    device mesh over DCN via ``jax.distributed.initialize``; afterwards
+    ``make_mesh`` spans all hosts' devices. No-op for single-process runs."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

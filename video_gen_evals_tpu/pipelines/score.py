@@ -217,9 +217,15 @@ def score_generated(
     human_scores_path: T.Optional[str] = None,
     output_json: T.Optional[str] = "video_scores.json",
     stats: T.Optional[ModalityStats] = None,
+    dump_features: T.Optional[str] = None,
 ) -> T.Dict[str, T.Any]:
     """Full ref ``eval.py`` flow: stats from real train split, centroids, score
-    every generated video, optional Spearman vs human MOS."""
+    every generated video, optional Spearman vs human MOS.
+
+    ``dump_features``: optional ``.npz`` path for the window feature cache
+    (seq embeddings + per-window TC + window->video metadata), the equivalent
+    of the reference's ``window_features.pt`` dump (ref ``eval.py:202-205``).
+    """
     cfg = cfg or ScoreConfig()
     real_manifest = scan_class_tree(real_meshes_dir, filter_classes=list(ACTION_CLASSES))
     if stats is None:
@@ -236,6 +242,19 @@ def score_generated(
     gen_manifest = scan_generated_flat(generated_dir)
     gen_bank = build_feature_bank(gen_manifest.items, gen_paths, stats)
     combined = score_bank(encoder, gen_bank, gen_manifest, centroids, label_dict, cfg)
+
+    if dump_features:
+        windows = enumerate_windows(gen_manifest, cfg.clip_len, cfg.stride)
+        seqs, window_tc, win_video = encoder.encode_bank(gen_bank, windows)
+        np.savez_compressed(
+            dump_features,
+            seq_embeds=seqs,
+            window_tc=window_tc,
+            window_video=win_video,
+            window_start=np.array([s for _v, s in windows], np.int32),
+            video_names=np.array(gen_bank.names),
+            video_classes=np.array(gen_bank.classes),
+        )
 
     result: T.Dict[str, T.Any] = {"scores": combined}
     if output_json:
@@ -266,6 +285,8 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--stride", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--output", default="video_scores.json")
+    p.add_argument("--dump-features", default=None,
+                   help="optional .npz window-feature cache (ref window_features.pt)")
     args = p.parse_args(argv)
 
     cfg = ScoreConfig(args.clip_len, args.stride, args.batch_size)
@@ -298,6 +319,7 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         human_scores_path=args.human_scores,
         output_json=args.output,
         stats=stats,
+        dump_features=args.dump_features,
     )
     n = len(result["scores"])
     print(f"Saved AC/TC scores for {n} videos to {args.output}")
