@@ -32,7 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from video_gen_evals_tpu.data.features import gather_windows
+import os as _os
+if _os.environ.get("BENCH_GATHER", "sliced") == "take":
+    from video_gen_evals_tpu.data.features import gather_windows
+else:
+    from video_gen_evals_tpu.data.features import gather_windows_sliced as gather_windows
 from video_gen_evals_tpu.metrics.scores import (
     tc_per_window,
     video_ac_scores,
@@ -62,7 +66,7 @@ def main() -> None:
     num_videos = int(os.environ.get("BENCH_VIDEOS", "64"))
     frames = int(os.environ.get("BENCH_FRAMES", "120"))
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "12"))
 
     cfg = EncoderConfig.create(DIMS_RAW, DIMS_DIFF)
     model, params = init_encoder(cfg, jax.random.key(0), clip_len=CLIP_LEN)
@@ -124,14 +128,25 @@ def main() -> None:
     labels = jnp.zeros(num_videos, jnp.int32)
     centroids = jnp.ones((1, 256), jnp.float32) / 16.0
 
-    ac, tcv = score_suite(params, centroids, labels)  # warmup / compile
-    ac.block_until_ready()
+    # Timing discipline for tunneled TPU execution: (a) chain iterations
+    # through a data dependency so every call must execute before the final
+    # result exists; (b) end timing with an actual value fetch (device->host
+    # transfers are the only reliable completion barrier through the relay);
+    # (c) two passes, report the second (the dispatch queue absorbs the
+    # first few calls).
+    carry = jnp.zeros((), jnp.float32)
+    ac, tcv = score_suite(params, centroids + carry, labels)  # warmup/compile
+    float(ac[0])
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ac, tcv = score_suite(params, centroids, labels)
-    ac.block_until_ready()
-    dt = time.perf_counter() - t0
+    for _pass in range(2):
+        carry = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ac, tcv = score_suite(params, centroids + carry * 0.0, labels)
+            carry = ac[0]
+        final = float(carry)
+        dt = time.perf_counter() - t0
+    assert np.isfinite(final)
     assert np.isfinite(np.asarray(ac)).all() and np.isfinite(np.asarray(tcv)).all()
 
     clips_per_sec = n_windows * iters / dt

@@ -32,16 +32,25 @@ from video_gen_evals_tpu.models.smpl_head import SMPLHeadConfig, SMPLTokenDecode
 from video_gen_evals_tpu.models.vit import ViTBackbone, ViTConfig
 
 
-def _time(fn, params, xs, iters=3):
-    """Time ``fn(params, x)`` over DISTINCT inputs per call (identical calls
-    can be memoized by the execution tunnel and read ~50x optimistic)."""
-    out = fn(params, xs[0])
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(params, xs[i % len(xs)])
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    return (time.perf_counter() - t0) / iters
+def _time(fn, params, xs, iters=16):
+    """Honest steady-state timing through the execution tunnel: iterations
+    are CHAINED via a data dependency (call i+1's input depends on call i's
+    output) and each pass ends with a real value fetch — block_until_ready
+    does not reliably block through the relay, and independent calls can be
+    absorbed by the dispatch queue. Two passes, report the second."""
+    carry = jnp.zeros((), xs[0].dtype)
+    out = fn(params, xs[0] + carry)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf).astype(jnp.float32))
+    for _pass in range(2):
+        carry = jnp.zeros((), xs[0].dtype)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(params, xs[i % len(xs)] + carry * 0)
+            carry = jnp.sum(jax.tree_util.tree_leaves(out)[0]).astype(xs[0].dtype) * 0
+        float(carry.astype(jnp.float32))
+        dt = (time.perf_counter() - t0) / iters
+    return dt
 
 
 def bench_pose(batch: int, iters: int, dtype) -> None:
@@ -97,7 +106,7 @@ def bench_mesh(batch: int, iters: int, dtype, depth: int) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--iters", type=int, default=16)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--vit-depth", type=int, default=32)
     p.add_argument("--only", choices=["pose", "mesh"], default=None)

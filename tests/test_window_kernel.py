@@ -1,9 +1,10 @@
-"""Pallas window-gather kernel vs the take-based gather (interpret mode)."""
+"""Window-gather implementations vs the exact take-based gather
+(Pallas kernel in interpret mode, sliced lax.gather on CPU)."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from video_gen_evals_tpu.data.features import gather_windows
+from video_gen_evals_tpu.data.features import gather_windows, gather_windows_sliced
 from video_gen_evals_tpu.ops.window_kernel import (
     aligned_starts,
     pad_bank_lanes,
@@ -13,33 +14,91 @@ from video_gen_evals_tpu.ops.window_kernel import (
 
 def _layout(rng, D=40, per_video_rows=(48, 16)):
     offsets = np.cumsum([0] + list(per_video_rows[:-1])).astype(np.int32)
-    row_limit = (offsets + np.array(per_video_rows) - 1).astype(np.int32)
     bank = rng.normal(size=(sum(per_video_rows), D)).astype(np.float32)
-    row_limit_rel = (np.array(per_video_rows) - 1).astype(np.int32)
-    return bank, offsets, row_limit_rel
+    row_limit = (np.array(per_video_rows) - 1).astype(np.int32)
+    return bank, offsets, row_limit
 
 
-def test_pallas_gather_matches_take(rng):
-    D, T = 40, 16
+def _args(rng, D=40, T=16):
     bank, offsets, row_limit = _layout(rng, D)
     z0 = rng.normal(size=(D - 24,)).astype(np.float32)
     vi = jnp.asarray(np.array([0, 0, 0, 1], np.int32))
     st = jnp.asarray(np.array([0, 8, 16, 0], np.int32))
-
-    ref = np.asarray(
-        gather_windows(
-            jnp.asarray(bank), jnp.asarray(offsets), jnp.asarray(row_limit),
-            jnp.asarray(z0), 24, vi, st, T,
-        )
+    return (
+        jnp.asarray(bank),
+        jnp.asarray(offsets),
+        jnp.asarray(row_limit),
+        jnp.asarray(z0),
+        24,
+        vi,
+        st,
+        T,
     )
+
+
+def test_pallas_gather_matches_take(rng):
+    args = _args(rng)
+    ref = np.asarray(gather_windows(*args))
     out = np.asarray(
         pallas_gather_windows(
-            pad_bank_lanes(jnp.asarray(bank)), jnp.asarray(offsets),
-            jnp.asarray(row_limit), jnp.asarray(z0), 24, vi, st, T,
-            out_dim=D, interpret=True,
+            pad_bank_lanes(args[0]), *args[1:], out_dim=40, interpret=True
         )
     )
     np.testing.assert_allclose(out, ref, atol=0)
+
+
+def test_sliced_gather_matches_take(rng):
+    args = _args(rng)
+    ref = np.asarray(gather_windows(*args))
+    out = np.asarray(gather_windows_sliced(*args))
+    np.testing.assert_allclose(out, ref, atol=0)
+
+
+def test_sliced_gather_on_enumerated_fixture_windows(rng):
+    """All three implementations agree over a realistic enumeration."""
+    from video_gen_evals_tpu.data import (
+        ModalityPaths,
+        build_feature_bank,
+        compute_stats,
+        enumerate_windows,
+        scan_class_tree,
+    )
+    from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        mesh_root, kp_root = make_fixture_tree(
+            root, ["PushUps"], videos_per_class=3, frames=(40, 25, 52)
+        )
+        manifest = scan_class_tree(mesh_root)
+        paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+        stats = compute_stats(manifest.items, paths)
+        bank = build_feature_bank(manifest.items, paths, stats)
+        windows = enumerate_windows(manifest, clip_len=32, stride=8)
+        vi = jnp.asarray(np.array([w[0] for w in windows], np.int32))
+        st = jnp.asarray(np.array([w[1] for w in windows], np.int32))
+        assert aligned_starts(np.asarray(st))
+        args = (
+            jnp.asarray(bank.bank),
+            jnp.asarray(bank.offsets),
+            jnp.asarray(bank.row_limit),
+            jnp.asarray(bank.z0_diff),
+            bank.one_pass_raw,
+            vi,
+            st,
+            32,
+        )
+        ref = np.asarray(gather_windows(*args))
+        np.testing.assert_allclose(
+            np.asarray(gather_windows_sliced(*args)), ref, atol=0
+        )
+        out = np.asarray(
+            pallas_gather_windows(
+                pad_bank_lanes(args[0]), *args[1:],
+                out_dim=bank.feature_dim, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=0)
 
 
 def test_pad_bank_lanes(rng):

@@ -17,6 +17,7 @@ from .features import (
     compute_video_features,
     build_feature_bank,
     gather_windows,
+    gather_windows_sliced,
 )
 from .sampler import PKBatchSampler
 
@@ -36,5 +37,6 @@ __all__ = [
     "compute_video_features",
     "build_feature_bank",
     "gather_windows",
+    "gather_windows_sliced",
     "PKBatchSampler",
 ]

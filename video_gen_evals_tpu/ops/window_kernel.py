@@ -5,23 +5,24 @@ the sentinel-padded bank layout (see ``data/features.py``), window ``i`` is
 exactly rows ``offset_v + start .. + clip_len`` of the bank — tail-padding
 semantics are baked into the data, and per-video offsets are 8-row aligned.
 
-XLA lowers the equivalent ``jnp.take`` to a generic row gather that reaches
-only ~40 GB/s on v5e; this kernel instead issues one straight HBM->VMEM block
-DMA per window (scalar-prefetched row bases via ``PrefetchScalarGridSpec``,
-bank resident in HBM via ``memory_space=ANY``), which runs at HBM stream
-bandwidth.
+Three implementations, fastest first on v5e (measured, 256x32x2596 batch):
 
-Alignment contract: every ``offset + start`` must be a multiple of 8 (f32
-sublane tile), and the bank's feature dim must be a multiple of 128 (lane
-tile) — pad it once with :func:`pad_bank_lanes`. The bank builder aligns
-offsets; the framework's canonical stride is 8, so enumerated window starts
-qualify. ``aligned_starts`` checks a batch; callers fall back to
-``data.features.gather_windows`` otherwise.
+1. this kernel (``pallas_gather_windows``): scalar-prefetch-driven input
+   BlockSpecs stream 8-row sub-blocks (4 per window) through Mosaic's
+   automatic double-buffering — the gather becomes a pipelined sequence of
+   aligned HBM->VMEM block DMAs (~37 GB/s effective);
+2. ``data.features.gather_windows_sliced``: one ``lax.gather`` of
+   ``[clip_len, D]`` slices (~31 GB/s), pure XLA, no alignment constraints;
+3. ``data.features.gather_windows``: per-row ``jnp.take`` (~19-28 GB/s),
+   exact for arbitrary (even out-of-range) starts.
+
+Alignment contract for the kernel: ``offset + start`` multiples of 8 (f32
+sublane tile — canonical stride-8 enumeration qualifies; ``aligned_starts``
+checks) and a lane-padded bank (``pad_bank_lanes``, feature dim % 128 == 0).
 """
 
 from __future__ import annotations
 
-import functools
 import typing as T
 
 import jax
@@ -29,21 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ALIGN = 8  # f32 sublane tiling: HBM slices must start at multiples of 8
-
-
-def _gather_kernel(base_ref, bank_ref, out_ref, sem, *, clip_len: int):
-    i = pl.program_id(0)
-    base = pl.multiple_of(base_ref[i], _ALIGN)
-    pltpu.make_async_copy(
-        bank_ref.at[pl.ds(base, clip_len), :], out_ref.at[0], sem
-    ).start()
-    pltpu.make_async_copy(
-        bank_ref.at[pl.ds(base, clip_len), :], out_ref.at[0], sem
-    ).wait()
-
-
-_LANE = 128  # lane tile: DMA'd slice widths must be multiples of 128
+_ALIGN = 8    # f32 sublane tiling: block row starts must be multiples of 8
+_LANE = 128   # lane tile: DMA'd slice widths must be multiples of 128
 
 
 def pad_bank_lanes(bank: jnp.ndarray) -> jnp.ndarray:
@@ -55,11 +43,16 @@ def pad_bank_lanes(bank: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(bank, ((0, 0), (0, pad)))
 
 
+def _copy_kernel(base_ref, in_ref, out_ref):
+    del base_ref  # consumed by the index maps
+    out_ref[0] = in_ref[:]
+
+
 def pallas_gather_windows(
     bank: jnp.ndarray,       # [N, D_pad] sentinel-padded, lane-padded bank
     offsets: jnp.ndarray,    # [V] (8-aligned)
-    row_limit: jnp.ndarray,  # [V] unused (layout guarantees validity); kept
-    z0_diff: jnp.ndarray,    # [D_diff]          # for signature parity
+    row_limit: jnp.ndarray,  # [V] (clamps pathological starts like _sliced)
+    z0_diff: jnp.ndarray,    # [D_diff]
     one_pass_raw: int,
     video_idx: jnp.ndarray,  # [B]
     starts: jnp.ndarray,     # [B] (multiples of 8)
@@ -67,33 +60,45 @@ def pallas_gather_windows(
     out_dim: T.Optional[int] = None,  # true feature dim (slices off lane pad)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for ``data.features.gather_windows`` for batches
-    whose starts are 8-aligned (the canonical stride-8 enumeration)."""
-    del row_limit
+    """Pipelined block-DMA window gather (see module docstring)."""
     B = video_idx.shape[0]
     D_pad = bank.shape[1]
     if D_pad % _LANE != 0:
         raise ValueError(
             f"bank feature dim {D_pad} must be lane-padded (pad_bank_lanes)"
         )
-    base = (offsets[video_idx] + starts).astype(jnp.int32)
+    if clip_len % _ALIGN != 0:
+        raise ValueError(f"clip_len {clip_len} must be a multiple of {_ALIGN}")
+    sub_blocks = clip_len // _ALIGN
+
+    rows_v = row_limit[video_idx] + 1
+    start_c = jnp.minimum(starts, jnp.maximum(rows_v - clip_len, 0))
+    base_blocks = ((offsets[video_idx] + start_c) // _ALIGN).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        grid=(B, sub_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (_ALIGN, D_pad),
+                lambda i, j, base: (base[i] + j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
         out_specs=pl.BlockSpec(
-            (1, clip_len, D_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, _ALIGN, D_pad),
+            lambda i, j, base: (i * sub_blocks + j, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
-    rows = pl.pallas_call(
-        functools.partial(_gather_kernel, clip_len=clip_len),
+    out = pl.pallas_call(
+        _copy_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, clip_len, D_pad), bank.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * sub_blocks, _ALIGN, D_pad), bank.dtype),
         interpret=interpret,
-    )(base, bank)
+    )(base_blocks, bank)
 
+    rows = out.reshape(B, clip_len, D_pad)
     if out_dim is not None and out_dim != D_pad:
         rows = rows[:, :, :out_dim]
     # window row 0 always self-pairs -> diff block := normalized zero

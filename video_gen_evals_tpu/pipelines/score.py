@@ -34,6 +34,7 @@ from ..data import (
     compute_stats,
     enumerate_windows,
     gather_windows,
+    gather_windows_sliced,
     scan_class_tree,
     scan_generated_flat,
     train_test_split,
@@ -71,15 +72,20 @@ class WindowEncoder:
         batch_size: int,
         clip_len: int,
         matmul_precision: str = "high",
+        gather_impl: str = "sliced",
     ):
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.clip_len = clip_len
+        gather = {
+            "sliced": gather_windows_sliced,  # fastest pure-XLA path
+            "take": gather_windows,           # exact for arbitrary starts
+        }[gather_impl]
 
         def _encode(params, bank, offsets, row_limit, z0, video_idx, starts, one_pass_raw):
             with jax.default_matmul_precision(matmul_precision):
-                w = gather_windows(
+                w = gather(
                     bank, offsets, row_limit, z0, one_pass_raw, video_idx, starts, clip_len
                 )
                 seq, frames, _ = model.apply(
