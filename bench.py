@@ -104,7 +104,7 @@ def main() -> None:
 
     @jax.jit
     def score_suite(params, centroids, video_label):
-        with jax.default_matmul_precision("high"):
+        with jax.default_matmul_precision(os.environ.get("BENCH_PRECISION", "high")):
             def one_batch(idx):
                 vi, st = idx
                 w = gather_windows(
