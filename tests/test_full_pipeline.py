@@ -1,0 +1,92 @@
+"""BASELINE config 4: frames -> extraction -> features -> encoder -> scores,
+all in-process, on tiny networks + synthetic frame stacks. Also the sharded
+scoring test (SURVEY §4.5): encode on an 8-device mesh == single device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_gen_evals_tpu.models import EncoderConfig
+from video_gen_evals_tpu.models.fusion_encoder import init_encoder
+from video_gen_evals_tpu.pipelines.full import score_videos_end_to_end
+from video_gen_evals_tpu.pipelines.score import ScoreConfig
+from tests.test_extract_pipeline import tiny_extractor
+
+
+def test_frames_to_scores_end_to_end(rng):
+    extractor = tiny_extractor()
+    # encoder matching the tiny extractor's mesh output dims (the random-weight
+    # pose net rarely passes the both-hands validity rule, so the kp2d modality
+    # is disabled here; its drop logic is exercised in test_extract_pipeline)
+    dims_raw = {"vit": 32, "global": 9, "pose": 207, "beta": 10}
+    dims_diff = {"vit": 32, "global": 3, "pose": 69, "beta": 10}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1, time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=8)
+
+    frames_by_video = {
+        f"GenX_JumpingJack_{i:02d}": rng.integers(0, 255, size=(12, 48, 40, 3)).astype(np.uint8)
+        for i in range(3)
+    }
+    label_dict = {"JumpingJack": 0, "PushUps": 1}
+    centroids = rng.normal(size=(2, 32)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=-1, keepdims=True)
+
+    result = score_videos_end_to_end(
+        extractor,
+        model,
+        params,
+        frames_by_video,
+        centroids,
+        label_dict,
+        cfg=ScoreConfig(clip_len=8, stride=8, batch_size=8),
+        with_keypoints=False,
+    )
+    assert len(result.scores) + len(result.rejected) == 3
+    for name, s in result.scores.items():
+        assert np.isfinite(s["ac"]) and np.isfinite(s["tc"])
+        assert 0 <= s["ac"] <= 2.0 and s["tc"] >= 0
+    # the encoder consumed whatever modalities every video produced
+    assert "vit" in result.stats.modalities
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_window_scoring_matches_serial(rng):
+    """Window batch sharded over the mesh data axis scores identically to the
+    single-device program (SURVEY §4.5: sharded-window scoring == serial)."""
+    from video_gen_evals_tpu.data.features import gather_windows_sliced
+    from video_gen_evals_tpu.metrics.scores import tc_per_window
+    from video_gen_evals_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+
+    dims_raw = {"vit": 16, "pose": 18}
+    dims_diff = {"vit": 16, "pose": 6}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1, time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(1), clip_len=8)
+    D = cfg.input_dim
+
+    V, rows, T = 4, 24, 8
+    bank = jnp.asarray(rng.normal(size=(V * rows, D)).astype(np.float32))
+    offsets = jnp.asarray((np.arange(V) * rows).astype(np.int32))
+    row_limit = jnp.asarray(np.full(V, rows - 1, np.int32))
+    z0 = jnp.asarray(rng.normal(size=(D - cfg.one_pass_raw,)).astype(np.float32))
+    vi = jnp.asarray(np.repeat(np.arange(V), 4).astype(np.int32))
+    st = jnp.asarray(np.tile(np.arange(4) * 8, V).astype(np.int32) % 16)
+
+    @jax.jit
+    def encode(params, vi, st):
+        w = gather_windows_sliced(
+            bank, offsets, row_limit, z0, cfg.one_pass_raw, vi, st, T
+        )
+        seq, frames, _ = model.apply({"params": params}, w, deterministic=True)
+        return seq, tc_per_window(frames)
+
+    seq1, tc1 = encode(params, vi, st)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    params_r = jax.device_put(params, replicated_sharding(mesh))
+    vi_s = jax.device_put(vi, batch_sharding(mesh))
+    st_s = jax.device_put(st, batch_sharding(mesh))
+    seq8, tc8 = encode(params_r, vi_s, st_s)
+
+    np.testing.assert_allclose(np.asarray(seq8), np.asarray(seq1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tc8), np.asarray(tc1), atol=1e-5)

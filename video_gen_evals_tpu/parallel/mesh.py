@@ -67,16 +67,11 @@ def tp_param_sharding(mesh: Mesh, params) -> T.Any:
         path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
         spec = _spec_for_param(path)
         # never shard a dim that doesn't divide evenly
-        sizes = dict(zip(spec, getattr(leaf, "shape", ())))
-        for axis_name in spec:
-            if axis_name == "model":
-                pass
         shape = getattr(leaf, "shape", ())
         n_model = mesh.shape["model"]
-        ok = True
-        for dim, ax in zip(shape, spec):
-            if ax == "model" and dim % n_model != 0:
-                ok = False
+        ok = all(
+            dim % n_model == 0 for dim, ax in zip(shape, spec) if ax == "model"
+        )
         return NamedSharding(mesh, spec if ok else P())
 
     return jax.tree_util.tree_map_with_path(one, params)

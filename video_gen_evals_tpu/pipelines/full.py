@@ -1,0 +1,225 @@
+"""Full pipeline: video frames -> mesh/keypoint extraction -> feature bank ->
+fusion encoder -> TAG scores (BASELINE config 4).
+
+The reference has no single entry point for this — it is three separate
+scripts with a filesystem contract between them (``extract_mesh.py`` ->
+``process_video.py`` -> ``eval.py``). Here the same chain runs in-process:
+the extractor's outputs feed the feature-bank builder directly (the npz
+round-trip is optional), and scoring reduces on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as T
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.features import (
+    FeatureBank,
+    ModalityPaths,
+    compute_modality_diffs,
+    _normalize,
+    _ROW_ALIGN,
+)
+from ..data.manifest import VideoItem, VideoManifest
+from ..data.stats import ModalityStats, _Acc, MODALITIES
+from ..data.windows import enumerate_windows
+from ..metrics.scores import video_ac_scores, video_tc_scores
+from ..models import HumanActionScorer
+from ..pipelines.extract import Extractor
+from ..pipelines.score import ScoreConfig, WindowEncoder
+from ..utils.names import infer_class_from_name
+
+
+def arrays_from_extraction(
+    mesh: T.Dict[str, np.ndarray], kp: T.Optional[T.Dict[str, np.ndarray]] = None,
+    kp_bug_compat: bool = True,
+) -> T.Dict[str, np.ndarray]:
+    """Extractor outputs -> per-modality raw arrays (the npz contract,
+    without touching disk)."""
+    Tlen = mesh["pose"].shape[0]
+    out = {
+        "vit": mesh["vit"].astype(np.float32),
+        "global": mesh["global_orient"].astype(np.float32).reshape(Tlen, -1),
+        "pose": mesh["pose"].astype(np.float32).reshape(Tlen, -1),
+        "beta": mesh["betas"].astype(np.float32),
+    }
+    if kp is not None:
+        rows = kp["kp120"][kp["valid"]] if kp_bug_compat else kp["kp120"]
+        if rows.shape[0] > 0:
+            out["kp2d"] = rows.astype(np.float32)
+    return out
+
+
+def stats_from_arrays(
+    per_video_arrays: T.Sequence[T.Dict[str, np.ndarray]], eps: float = 1e-6
+) -> ModalityStats:
+    """In-memory equivalent of ``compute_stats`` over extracted arrays."""
+    accs_raw = {m: _Acc() for m in MODALITIES}
+    accs_diff = {m: _Acc() for m in MODALITIES}
+    for arrays in per_video_arrays:
+        diffs = compute_modality_diffs(arrays)
+        for m, X in arrays.items():
+            accs_raw[m].update(X)
+        for m, X in diffs.items():
+            accs_diff[m].update(X)
+    stats = ModalityStats({}, {}, {}, {})
+    for m in MODALITIES:
+        if accs_raw[m].n > 0:
+            stats.mean_raw[m], stats.std_raw[m] = accs_raw[m].finalize(eps)
+            stats.mean_diff[m], stats.std_diff[m] = accs_diff[m].finalize(eps)
+    return stats
+
+
+def bank_from_arrays(
+    per_video_arrays: T.Sequence[T.Dict[str, np.ndarray]],
+    names: T.Sequence[str],
+    classes: T.Sequence[str],
+    stats: ModalityStats,
+    min_rows: int = 40,
+) -> FeatureBank:
+    """In-memory feature-bank builder over extracted arrays."""
+    mods = stats.modalities
+    banks: T.List[np.ndarray] = []
+    offsets = np.zeros(len(per_video_arrays), np.int32)
+    row_limit = np.zeros(len(per_video_arrays), np.int32)
+    row = 0
+    for i, arrays in enumerate(per_video_arrays):
+        diffs = compute_modality_diffs(arrays)
+        height = max(arrays[m].shape[0] for m in mods)
+        n_rows = max(height + 1, min_rows)
+        n_rows = (n_rows + _ROW_ALIGN - 1) // _ROW_ALIGN * _ROW_ALIGN
+        raw_blocks, diff_blocks = [], []
+        for m in mods:
+            raw = _normalize(arrays[m], stats.mean_raw[m], stats.std_raw[m])
+            diff = _normalize(diffs[m], stats.mean_diff[m], stats.std_diff[m])
+            z0 = _normalize(
+                np.zeros((1, diff.shape[1]), np.float32),
+                stats.mean_diff[m],
+                stats.std_diff[m],
+            )
+            pad = n_rows - raw.shape[0]
+            raw_blocks.append(
+                np.concatenate([raw, np.repeat(raw[-1:], pad, axis=0)], axis=0)
+            )
+            diff_blocks.append(
+                np.concatenate([diff, np.repeat(z0, pad, axis=0)], axis=0)
+            )
+        banks.append(np.concatenate(raw_blocks + diff_blocks, axis=1).astype(np.float32))
+        offsets[i] = row
+        row_limit[i] = banks[-1].shape[0] - 1  # per-video last row index
+        row += banks[-1].shape[0]
+
+    z0_parts = [
+        _normalize(
+            np.zeros((1, stats.mean_diff[m].shape[0]), np.float32),
+            stats.mean_diff[m],
+            stats.std_diff[m],
+        )[0]
+        for m in mods
+    ]
+    return FeatureBank(
+        bank=np.concatenate(banks, axis=0),
+        offsets=offsets,
+        row_limit=row_limit,
+        z0_diff=np.concatenate(z0_parts).astype(np.float32),
+        one_pass_raw=sum(int(stats.mean_raw[m].shape[0]) for m in mods),
+        classes=list(classes),
+        names=list(names),
+    )
+
+
+@dataclasses.dataclass
+class FullPipelineResult:
+    scores: T.Dict[str, T.Dict[str, float]]
+    rejected: T.List[str]       # videos failing the single-person ratio test
+    stats: ModalityStats
+
+
+def score_videos_end_to_end(
+    extractor: Extractor,
+    model: HumanActionScorer,
+    params,
+    frames_by_video: T.Mapping[str, np.ndarray],   # name -> [T, H, W, 3] uint8
+    centroids: np.ndarray,
+    label_dict: T.Dict[str, int],
+    stats: T.Optional[ModalityStats] = None,
+    cfg: T.Optional[ScoreConfig] = None,
+    with_keypoints: bool = True,
+) -> FullPipelineResult:
+    """Decode-to-scores in one call: batched extraction (detector -> crops ->
+    mesh net [+ pose net]) -> in-memory feature bank -> encoder -> AC/TC."""
+    cfg = cfg or ScoreConfig()
+    arrays_list: T.List[T.Dict[str, np.ndarray]] = []
+    names: T.List[str] = []
+    rejected: T.List[str] = []
+    for name, frames in frames_by_video.items():
+        mesh = extractor.process_video(frames)
+        if mesh is None:
+            rejected.append(name)
+            continue
+        kp = (
+            extractor.process_video_keypoints(frames) if with_keypoints else None
+        )
+        arrays = arrays_from_extraction(
+            mesh, kp, kp_bug_compat=extractor.cfg.kp_bug_compat
+        )
+        if with_keypoints and "kp2d" not in arrays:
+            arrays.pop("kp2d", None)  # no valid kp frames: drop the modality
+        arrays_list.append(arrays)
+        names.append(name)
+
+    if not arrays_list:
+        return FullPipelineResult({}, rejected, stats or ModalityStats({}, {}, {}, {}))
+
+    # restrict to modalities present in EVERY video
+    common = set(arrays_list[0])
+    for a in arrays_list[1:]:
+        common &= set(a)
+    arrays_list = [{m: a[m] for m in a if m in common} for a in arrays_list]
+
+    if stats is None:
+        stats = stats_from_arrays(arrays_list)
+    used_mods = [m for m in stats.modalities if m in common]
+    stats = ModalityStats(
+        {m: stats.mean_raw[m] for m in used_mods},
+        {m: stats.std_raw[m] for m in used_mods},
+        {m: stats.mean_diff[m] for m in used_mods},
+        {m: stats.std_diff[m] for m in used_mods},
+    )
+
+    classes = [
+        infer_class_from_name(n, label_dict.keys()) or next(iter(label_dict))
+        for n in names
+    ]
+    bank = bank_from_arrays(arrays_list, names, classes, stats)
+    manifest = VideoManifest(
+        [
+            VideoItem(cls=c, name=n, path="", length=a["vit"].shape[0], vit_dim=a["vit"].shape[1])
+            for c, n, a in zip(classes, names, arrays_list)
+        ]
+    )
+    windows = enumerate_windows(manifest, cfg.clip_len, cfg.stride)
+    encoder = WindowEncoder(
+        model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
+    )
+    seqs, window_tc, win_video = encoder.encode_bank(bank, windows)
+    num_videos = len(names)
+    tc_v = np.asarray(
+        video_tc_scores(jnp.asarray(window_tc), jnp.asarray(win_video), num_videos)
+    )
+    video_label = np.array([label_dict.get(c, 0) for c in classes], np.int32)
+    ac_v = np.asarray(
+        video_ac_scores(
+            jnp.asarray(seqs),
+            jnp.asarray(win_video),
+            jnp.asarray(video_label),
+            jnp.asarray(centroids),
+        )
+    )
+    scores = {
+        n: {"ac": float(ac_v[i]), "tc": float(tc_v[i])} for i, n in enumerate(names)
+    }
+    return FullPipelineResult(scores, rejected, stats)
