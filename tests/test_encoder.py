@@ -186,3 +186,18 @@ def test_dropout_changes_output_in_train_mode(rng):
         {"params": params}, x, deterministic=False, rngs={"dropout": jax.random.key(6)}
     )
     assert not np.allclose(np.asarray(out1[2]), np.asarray(out2[2]))
+
+
+def test_fusion_attention_exposure(rng):
+    """Parity with the reference's last_attn stash (ref model.py:185): the
+    per-frame fusion attention map is retrievable and row-stochastic."""
+    from video_gen_evals_tpu.models.fusion_encoder import apply_with_attention
+
+    cfg = small_config()
+    model, params = init_encoder(cfg, jax.random.key(9), clip_len=T_LEN)
+    x = jnp.asarray(rng.normal(size=(2, T_LEN, cfg.input_dim)).astype(np.float32))
+    (seq, frames, tokens), attn = apply_with_attention(model, params, x)
+    M = len(cfg.modalities)
+    assert attn.shape == (2, T_LEN, M)
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
+    assert seq.shape == (2, D_MODEL)

@@ -336,3 +336,17 @@ def init_encoder(
     dummy = jnp.zeros((1, clip_len, config.input_dim), jnp.float32)
     params = model.init({"params": rng}, dummy, deterministic=True)["params"]
     return model, params
+
+
+def apply_with_attention(
+    model: HumanActionScorer, params, x: jnp.ndarray
+) -> T.Tuple[T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Forward pass that also returns the per-frame fusion attention map
+    ``[B, T, M]`` — the reference stashes this on the module as ``last_attn``
+    (ref ``model.py:77,94,148,185``); here it is sown into the flax
+    ``intermediates`` collection and surfaced functionally."""
+    outputs, inter = model.apply(
+        {"params": params}, x, deterministic=True, mutable=["intermediates"]
+    )
+    attn = inter["intermediates"]["fusion"]["fusion_attn"][0]
+    return outputs, attn

@@ -105,7 +105,6 @@ class SimCCPoseNet(nn.Module):
         # final conv features [B, h, w, C]
         x = ConvBNAct(cfg.feat_dim, kernel=1)(x)
         B, h, w, C = x.shape
-        flat = x.reshape(B, h * w * C)
 
         K = cfg.num_keypoints
         nx = int(W * cfg.simcc_ratio)

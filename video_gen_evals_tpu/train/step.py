@@ -60,43 +60,50 @@ def make_optimizer(
     )
 
 
-def make_loss_fn(model: HumanActionScorer, hard_weight: float = 10.0):
+def make_loss_fn(
+    model: HumanActionScorer,
+    hard_weight: float = 10.0,
+    matmul_precision: str = "default",
+):
     """Returns loss_fn(params, feats [B,T,D], labels [B], rng, train: bool)
-    -> (total, dict of components)."""
+    -> (total, dict of components). Training defaults to "default" matmul
+    precision (bf16 passes) — standard for training; scoring uses "high"
+    for reference parity (see PARITY.md)."""
 
     def loss_fn(params, feats, labels, rng, train: bool):
-        k_shuf, k_drop = jax.random.split(rng)
-        B = feats.shape[0]
-        stacked = jnp.concatenate(
-            [
-                feats,
-                partial_shuffle_within_window(k_shuf, feats),
-                reverse_sequence(feats),
-                static_window(feats),
-            ],
-            axis=0,
-        )
-        variables = {"params": params}
-        if train:
-            emb, _, _ = model.apply(
-                variables, stacked, deterministic=False, rngs={"dropout": k_drop}
-            )
-        else:
-            emb, _, _ = model.apply(variables, stacked, deterministic=True)
-        clean, sh, rev, st = (
-            emb[:B],
-            emb[B : 2 * B],
-            emb[2 * B : 3 * B],
-            emb[3 * B :],
-        )
-        components = {
-            "tcl": tcl_loss(clean, labels),
-            "hard_shuf": hard_weight * supcon_hard_negatives(clean, clean, sh),
-            "hard_rev": hard_weight * supcon_hard_negatives(clean, clean, rev),
-            "hard_stat": hard_weight * supcon_hard_negatives(clean, clean, st),
-        }
-        total = sum(components.values())
-        return total, components
+      with jax.default_matmul_precision(matmul_precision):
+          k_shuf, k_drop = jax.random.split(rng)
+          B = feats.shape[0]
+          stacked = jnp.concatenate(
+              [
+                  feats,
+                  partial_shuffle_within_window(k_shuf, feats),
+                  reverse_sequence(feats),
+                  static_window(feats),
+              ],
+              axis=0,
+          )
+          variables = {"params": params}
+          if train:
+              emb, _, _ = model.apply(
+                  variables, stacked, deterministic=False, rngs={"dropout": k_drop}
+              )
+          else:
+              emb, _, _ = model.apply(variables, stacked, deterministic=True)
+          clean, sh, rev, st = (
+              emb[:B],
+              emb[B : 2 * B],
+              emb[2 * B : 3 * B],
+              emb[3 * B :],
+          )
+          components = {
+              "tcl": tcl_loss(clean, labels),
+              "hard_shuf": hard_weight * supcon_hard_negatives(clean, clean, sh),
+              "hard_rev": hard_weight * supcon_hard_negatives(clean, clean, rev),
+              "hard_stat": hard_weight * supcon_hard_negatives(clean, clean, st),
+          }
+          total = sum(components.values())
+          return total, components
 
     return loss_fn
 
