@@ -237,3 +237,19 @@ def test_pk_sampler_replacement_topup():
 def test_pk_sampler_p_exceeds_classes():
     with pytest.raises(ValueError):
         PKBatchSampler([0, 0, 1, 1], P=3, K=1)
+
+
+def test_feature_bank_save_load_roundtrip(pipeline, tmp_path):
+    from video_gen_evals_tpu.data.features import load_feature_bank, save_feature_bank
+
+    _manifest, _paths, _stats, bank = pipeline
+    path = str(tmp_path / "bank.npz")
+    save_feature_bank(bank, path)
+    loaded = load_feature_bank(path)
+    np.testing.assert_array_equal(loaded.bank, bank.bank)
+    np.testing.assert_array_equal(loaded.offsets, bank.offsets)
+    np.testing.assert_array_equal(loaded.row_limit, bank.row_limit)
+    np.testing.assert_array_equal(loaded.z0_diff, bank.z0_diff)
+    assert loaded.one_pass_raw == bank.one_pass_raw
+    assert loaded.classes == bank.classes
+    assert loaded.names == bank.names

@@ -369,3 +369,38 @@ def gather_windows_sliced(
         mode=jax.lax.GatherScatterMode.CLIP,
     )
     return rows.at[:, 0, one_pass_raw:].set(z0_diff[None, :].astype(rows.dtype))
+
+
+def save_feature_bank(bank: FeatureBank, path: str) -> None:
+    """Cache a built bank to disk (one compressed npz) — the rebuild's
+    equivalent of the reference's ``window_features.pt`` cache, but at the
+    reusable bank level (windows derive from it for any stride)."""
+    np.savez_compressed(
+        path,
+        bank=bank.bank,
+        offsets=bank.offsets,
+        row_limit=bank.row_limit,
+        z0_diff=bank.z0_diff,
+        one_pass_raw=np.int64(bank.one_pass_raw),
+        classes=np.array(bank.classes),
+        names=np.array(bank.names),
+    )
+
+
+def load_feature_bank(path: str) -> FeatureBank:
+    from ..utils.native_npz import load_npz
+
+    z = load_npz(path)
+    if "classes" not in z or "names" not in z:  # native reader skips strings
+        with np.load(path, allow_pickle=False) as f:
+            z["classes"] = f["classes"]
+            z["names"] = f["names"]
+    return FeatureBank(
+        bank=z["bank"],
+        offsets=z["offsets"],
+        row_limit=z["row_limit"],
+        z0_diff=z["z0_diff"],
+        one_pass_raw=int(z["one_pass_raw"]),
+        classes=[str(c) for c in z["classes"]],
+        names=[str(n) for n in z["names"]],
+    )

@@ -144,7 +144,9 @@ def build_real_centroids(
     """Class centroids from the real-video train split (ref ``eval.py:260-286``)."""
     train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
     label_dict = real_manifest.label_dict()
-    bank = build_feature_bank(train_ds.items, paths, stats)
+    bank = build_feature_bank(
+        train_ds.items, paths, stats, min_rows=cfg.clip_len + 8
+    )
     windows = enumerate_windows(train_ds, cfg.clip_len, cfg.stride)
     seqs, _tc, win_video = encoder.encode_bank(bank, windows)
     labels = np.array(
@@ -246,7 +248,9 @@ def score_generated(
     )
 
     gen_manifest = scan_generated_flat(generated_dir)
-    gen_bank = build_feature_bank(gen_manifest.items, gen_paths, stats)
+    gen_bank = build_feature_bank(
+        gen_manifest.items, gen_paths, stats, min_rows=cfg.clip_len + 8
+    )
     combined = score_bank(encoder, gen_bank, gen_manifest, centroids, label_dict, cfg)
 
     if dump_features:

@@ -78,11 +78,12 @@ class Experiment:
         cfg.to_json(os.path.join(self.save_dir, "config.json"))
 
         mods = [m for m in cfg.detect_modalities() if m in self.stats.modalities]
+        min_rows = cfg.clip_len + 8
         self.train_bank = build_feature_bank(
-            self.train_ds.items, self.real_paths, self.stats, mods
+            self.train_ds.items, self.real_paths, self.stats, mods, min_rows=min_rows
         )
         self.test_bank = build_feature_bank(
-            self.test_ds.items, self.real_paths, self.stats, mods
+            self.test_ds.items, self.real_paths, self.stats, mods, min_rows=min_rows
         )
         self.train_windows = enumerate_windows(self.train_ds, cfg.clip_len, cfg.stride)
         self.test_windows = enumerate_windows(self.test_ds, cfg.clip_len, cfg.stride)
@@ -303,7 +304,8 @@ class Experiment:
             layout="generated",
         )
         bank = build_feature_bank(
-            gen_manifest.items, gen_paths, self.stats, self.stats.modalities
+            gen_manifest.items, gen_paths, self.stats, self.stats.modalities,
+            min_rows=cfg.clip_len + 8,
         )
         windows = enumerate_windows(gen_manifest, cfg.clip_len, cfg.stride)
         enc = self._window_encoder()
