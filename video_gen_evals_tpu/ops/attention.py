@@ -51,7 +51,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
         k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                  # [bq, block_kv]
         kv_idx = i * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_kv), 1
@@ -63,7 +65,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return acc, m_new, l_new
 
