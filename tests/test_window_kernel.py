@@ -114,3 +114,17 @@ def test_pad_bank_lanes(rng):
 def test_aligned_starts():
     assert aligned_starts([0, 8, 16, 128])
     assert not aligned_starts([0, 8, 3])
+
+
+def test_burst_gather_matches_take(rng):
+    from video_gen_evals_tpu.ops.window_kernel import pallas_gather_windows_burst
+
+    args = _args(rng)
+    ref = np.asarray(gather_windows(*args))
+    out = np.asarray(
+        pallas_gather_windows_burst(
+            pad_bank_lanes(args[0]), *args[1:], windows_per_step=2,
+            out_dim=40, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=0)
