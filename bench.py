@@ -32,11 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-import os as _os
-if _os.environ.get("BENCH_GATHER", "sliced") == "take":
-    from video_gen_evals_tpu.data.features import gather_windows
-else:
-    from video_gen_evals_tpu.data.features import gather_windows_sliced as gather_windows
+from video_gen_evals_tpu.data.features import (
+    gather_windows as gather_windows_take,
+    gather_windows_sliced,
+)
+from video_gen_evals_tpu.ops.window_kernel import (
+    pad_bank_lanes,
+    pallas_gather_windows_burst,
+)
 from video_gen_evals_tpu.metrics.scores import (
     tc_per_window,
     video_ac_scores,
@@ -78,6 +81,24 @@ def main() -> None:
     offsets = jnp.asarray(offsets_np)
     row_limit = jnp.asarray(row_limit_np)
     z0 = jnp.zeros(D - one_pass_raw, jnp.float32)
+
+    # production gather: burst Pallas DMA kernel on TPU (stride-8 starts and
+    # 8-aligned video offsets are guaranteed by the bank layout); pure-XLA
+    # sliced gather elsewhere / via BENCH_GATHER override
+    default_gather = "burst" if jax.default_backend() == "tpu" else "sliced"
+    gather_impl = os.environ.get("BENCH_GATHER", default_gather)
+    if gather_impl == "burst":
+        bank_burst = pad_bank_lanes(bank)
+
+        def gather_windows(bank_arg, offsets, row_limit, z0, opr, vi, st, clip):
+            del bank_arg  # burst path reads the resident lane-padded copy
+            return pallas_gather_windows_burst(
+                bank_burst, offsets, row_limit, z0, opr, vi, st, clip, out_dim=D
+            )
+    elif gather_impl == "take":
+        gather_windows = gather_windows_take
+    else:
+        gather_windows = gather_windows_sliced
 
     starts_all, vids_all = [], []
     for v in range(num_videos):

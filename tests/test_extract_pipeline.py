@@ -15,13 +15,16 @@ from video_gen_evals_tpu.pipelines.extract import Extractor, ExtractorConfig
 
 def tiny_extractor(**kw) -> Extractor:
     cfg = ExtractorConfig(
-        det=DetectorConfig(input_hw=(64, 64), widths=(8, 16, 24, 32), max_detections=4),
+        det=DetectorConfig(input_hw=(64, 64), depth=0.33, width=0.0625, max_detections=4),
         vit=ViTConfig(img_size=(32, 24), patch_size=8, embed_dim=32, depth=1, num_heads=4),
         head=SMPLHeadConfig(
             dim=32, context_dim=32, depth=1, heads=2, dim_head=8, mlp_dim=32,
             token_num=2, token_class_num=8, token_code_dim=4,
         ),
-        pose=PoseNetConfig(input_hw=(32, 24), widths=(8, 16, 24, 32)),
+        pose=PoseNetConfig(
+            input_hw=(32, 24), widen_factor=0.0625, deepen_factor=0.2,
+            gau_dim=16, gau_s=8,
+        ),
         frame_batch=8,
         min_single_ratio=0.0,   # random-weight detector: accept whatever it finds
         **kw,

@@ -123,7 +123,7 @@ def test_single_person_mask_and_video_filter():
 
 
 def test_detector_forward_and_person_filter(rng):
-    cfg = DetectorConfig(input_hw=(64, 64), widths=(8, 16, 24, 32), max_detections=8)
+    cfg = DetectorConfig(input_hw=(64, 64), depth=0.33, width=0.0625, max_detections=8)
     det = YOLOXLiteDetector(cfg)
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
     params = det.init(jax.random.key(0), x)["params"]
@@ -276,7 +276,10 @@ def test_flatten_first_person_validity(rng):
 
 
 def test_pose_net_shapes(rng):
-    cfg = PoseNetConfig(input_hw=(64, 48), widths=(8, 16, 24, 32), num_keypoints=133)
+    cfg = PoseNetConfig(
+        input_hw=(64, 48), widen_factor=0.0625, deepen_factor=0.2,
+        num_keypoints=133, gau_dim=32, gau_s=16,
+    )
     net = SimCCPoseNet(cfg)
     x = jnp.asarray(rng.normal(size=(2, 64, 48, 3)).astype(np.float32))
     params = net.init(jax.random.key(0), x)["params"]
@@ -284,5 +287,9 @@ def test_pose_net_shapes(rng):
     assert kps.shape == (2, 133, 2)
     assert scores.shape == (2, 133)
     k = np.asarray(kps)
-    assert (k[..., 0] >= 0).all() and (k[..., 0] <= 48).all()
-    assert (k[..., 1] >= 0).all() and (k[..., 1] <= 64).all()
+    s = np.asarray(scores)
+    # mmpose decode: -1 where score <= 0, else inside the crop
+    pos = s > 0
+    assert (k[pos][..., 0] >= 0).all() and (k[pos][..., 0] <= 48).all()
+    assert (k[pos][..., 1] >= 0).all() and (k[pos][..., 1] <= 64).all()
+    assert (k[~pos] == -1).all()

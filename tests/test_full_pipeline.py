@@ -14,8 +14,27 @@ from video_gen_evals_tpu.pipelines.score import ScoreConfig
 from tests.test_extract_pipeline import tiny_extractor
 
 
+def _stub_single_person_detect(extractor, box=(8.0, 8.0, 32.0, 40.0)):
+    """Replace the jitted detect stage with a deterministic single-person
+    result: a random-weight YOLOX scores every location near sigmoid(0)^2 ~
+    0.25 < the 0.5 threshold, so nothing would ever be detected. The real
+    detector forward + NMS + filter semantics are covered by tests/test_yolox.py
+    and test_extraction_models.py; this test is about the frames -> scores
+    plumbing around it."""
+
+    def fake_detect(params, frames_f32, frame_wh):
+        B = frames_f32.shape[0]
+        return (
+            jnp.tile(jnp.asarray([list(box)], jnp.float32), (B, 1)),
+            jnp.ones((B,), bool),
+        )
+
+    extractor._detect = fake_detect
+    return extractor
+
+
 def test_frames_to_scores_end_to_end(rng):
-    extractor = tiny_extractor()
+    extractor = _stub_single_person_detect(tiny_extractor())
     # encoder matching the tiny extractor's mesh output dims (the random-weight
     # pose net rarely passes the both-hands validity rule, so the kp2d modality
     # is disabled here; its drop logic is exercised in test_extract_pipeline)

@@ -105,3 +105,44 @@ def test_batched_encoding_invariant_to_batch_size(env):
     for n in outs[0]:
         np.testing.assert_allclose(outs[0][n]["ac"], outs[1][n]["ac"], atol=1e-5)
         np.testing.assert_allclose(outs[0][n]["tc"], outs[1][n]["tc"], atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_window_encoder_mesh_matches_single_device(env):
+    """Window-axis sharding over the mesh `data` axis returns the same
+    embeddings/TC as the single-device sweep (SURVEY §5.8)."""
+    from video_gen_evals_tpu.data import (
+        build_feature_bank,
+        compute_stats,
+        enumerate_windows,
+        scan_class_tree,
+        train_test_split,
+    )
+    from video_gen_evals_tpu.parallel import make_mesh
+    from video_gen_evals_tpu.pipelines.score import WindowEncoder
+
+    root, mesh_root, kp_root, *_ = env
+    manifest = scan_class_tree(mesh_root)
+    train_ds, _ = train_test_split(manifest, 0.8, seed=1337)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    stats = compute_stats(train_ds.items, paths)
+    bank = build_feature_bank(train_ds.items, paths, stats, min_rows=24)
+    windows = enumerate_windows(train_ds, 16, 8)
+    assert len(windows) > 16  # multiple batches incl. a padded tail
+
+    cfg = EncoderConfig.create(
+        stats.dims_map_raw(), stats.dims_map_diff(), d_model=32, time_layers=1, time_heads=4
+    )
+    model, params = init_encoder(cfg, jax.random.key(2), clip_len=16)
+
+    enc1 = WindowEncoder(model, params, 16, 16)
+    s1, t1, v1 = enc1.encode_bank(bank, windows)
+    enc8 = WindowEncoder(model, params, 16, 16, mesh=make_mesh(n_data=8, n_model=1))
+    s8, t8, v8 = enc8.encode_bank(bank, windows)
+
+    np.testing.assert_array_equal(v1, v8)
+    np.testing.assert_allclose(s1, s8, atol=2e-5)
+    np.testing.assert_allclose(t1, t8, atol=2e-5)
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        WindowEncoder(model, params, 12, 16, mesh=make_mesh(n_data=8, n_model=1))

@@ -136,6 +136,76 @@ def tiny_env(tmp_path_factory):
     return str(root), mesh_root, kp_root
 
 
+def _tiny_cfg(root, mesh_root, kp_root, name, epochs=1):
+    return TrainConfig(
+        paths=PathsConfig(
+            real_meshes_dir=mesh_root,
+            real_kp_dir=kp_root,
+            generated_meshes_dir=os.path.join(root, "none"),
+            human_scores=os.path.join(root, "none.json"),
+        ),
+        epochs=epochs,
+        clip_len=16,
+        stride=8,
+        P=2,
+        K=4,
+        d_model=32,
+        time_layers=1,
+        time_heads=4,
+        filter_classes=None,
+        save_dir=os.path.join(root, "SAVE_" + name),
+    )
+
+
+def _read_events(exp):
+    with open(exp.metrics_path) as f:
+        return [json.loads(l) for l in f]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_experiment_mesh_run_matches_single_device(tiny_env, n_data, n_model):
+    """The REAL harness (`Experiment.run`) on a dp x tp mesh reproduces the
+    single-device epoch losses — the sharded path is the same program, not a
+    dryrun-only artifact (VERDICT r1 #2, SURVEY §2.3/§5.8)."""
+    from video_gen_evals_tpu.train.experiment import Experiment
+
+    root, mesh_root, kp_root = tiny_env
+    exp1 = Experiment(_tiny_cfg(root, mesh_root, kp_root, "sd"), eval_batch=16)
+    exp1.run()
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    expm = Experiment(
+        _tiny_cfg(root, mesh_root, kp_root, f"dp{n_data}tp{n_model}"),
+        mesh=mesh,
+        eval_batch=16,
+    )
+    expm.run()
+
+    ev1 = {e["event"]: e for e in _read_events(exp1)}
+    evm = {e["event"]: e for e in _read_events(expm)}
+    # one Adam epoch on identical data: sharded-reduction float noise only
+    np.testing.assert_allclose(
+        evm["train_epoch"]["loss"], ev1["train_epoch"]["loss"], rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        evm["eval_loss"]["loss"], ev1["eval_loss"]["loss"], rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        evm["centroid_distance"]["avg"], ev1["centroid_distance"]["avg"], rtol=2e-3
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_experiment_mesh_rejects_indivisible_batch(tiny_env):
+    from video_gen_evals_tpu.train.experiment import Experiment
+
+    root, mesh_root, kp_root = tiny_env
+    cfg = _tiny_cfg(root, mesh_root, kp_root, "bad")
+    cfg.P, cfg.K = 3, 2  # 6 windows over 8 data shards
+    with pytest.raises(ValueError, match="divide evenly"):
+        Experiment(cfg, mesh=make_mesh(n_data=8, n_model=1))
+
+
 def test_experiment_end_to_end(tiny_env):
     from video_gen_evals_tpu.train.experiment import Experiment
 

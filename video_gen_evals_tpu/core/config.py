@@ -38,6 +38,39 @@ DEFAULT_DIMS_DIFF = {
 }
 
 
+@dataclasses.dataclass(frozen=True)
+class BugCompat:
+    """One switch for the reference's accidental behaviors (SURVEY §7.4.7):
+    observable scoring semantics are always reproduced, but the internals that
+    are clearly bugs are gated here so they can be turned off together.
+
+    - ``kp_frame_drop``: write only valid keypoint frames during extraction,
+      reproducing the reference's mesh/kp frame misalignment
+      (ref ``process_video.py:23-57`` silently drops frames).
+    - ``layout_auto``: infer the generated-vs-real side-modality directory
+      layout from the *keypoint dir name* (``SAVE_GEN``/``SAVE_NEW``/
+      ``generated_kps``), as the reference keys all three side modalities off
+      it (ref ``utils.py:411-414,429-432,443-446``).
+    - ``permissive_ckpt``: tolerate missing/extra checkpoint keys like the
+      reference's ``strict=False`` loading (ref ``eval.py:136-165``).
+
+    CLI surface: ``--bug-compat`` (default) / ``--no-bug-compat`` on the
+    extract and score pipelines. Documented in PARITY.md.
+    """
+
+    kp_frame_drop: bool = True
+    layout_auto: bool = True
+    permissive_ckpt: bool = True
+
+    @classmethod
+    def enabled(cls) -> "BugCompat":
+        return cls()
+
+    @classmethod
+    def disabled(cls) -> "BugCompat":
+        return cls(kp_frame_drop=False, layout_auto=False, permissive_ckpt=False)
+
+
 @dataclasses.dataclass
 class PathsConfig:
     real_meshes_dir: str = "meshes_10classes"

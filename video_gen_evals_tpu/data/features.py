@@ -83,7 +83,10 @@ class ModalityPaths:
 
 
 def load_video_arrays(
-    item, paths: ModalityPaths, strict_kp: bool = True
+    item,
+    paths: ModalityPaths,
+    strict_kp: bool = True,
+    npz: T.Optional[T.Dict[str, np.ndarray]] = None,
 ) -> T.Dict[str, np.ndarray]:
     """Load raw per-modality arrays for one video (float32, flattened):
 
@@ -97,9 +100,10 @@ def load_video_arrays(
     (``native/libvge_native.so``: mmap + direct-inflate + thread pool),
     falling back to ``np.load`` transparently.
     """
-    from ..utils.native_npz import load_npz
+    if npz is None:
+        from ..utils.native_npz import load_npz
 
-    npz = load_npz(item.path)
+        npz = load_npz(item.path)
     Tlen = npz["pose"].shape[0]
     out: T.Dict[str, np.ndarray] = {
         "vit": npz["vit"].astype(np.float32),
@@ -195,6 +199,7 @@ def compute_video_features(
     stats: "ModalityStats",
     modalities: T.Optional[T.Sequence[str]] = None,
     min_rows: int = 40,
+    npz: T.Optional[T.Dict[str, np.ndarray]] = None,
 ) -> VideoFeatures:
     """Build the normalized bank for one video.
 
@@ -204,7 +209,7 @@ def compute_video_features(
     >= the largest clip_len that will be gathered (short videos are padded to
     at least one full window of sentinel rows).
     """
-    arrays = load_video_arrays(item, paths, strict_kp=True)
+    arrays = load_video_arrays(item, paths, strict_kp=True, npz=npz)
     diffs = compute_modality_diffs(arrays)
     mods = list(modalities) if modalities is not None else stats.modalities
     missing = [m for m in mods if m not in arrays]
@@ -277,9 +282,18 @@ def build_feature_bank(
     min_rows: int = 40,
 ) -> FeatureBank:
     mods = list(modalities) if modalities is not None else stats.modalities
+    # mesh npz files decode through the native C++ thread pool (mmap +
+    # parallel inflate); Nones (unopenable files) surface as clear errors
+    from ..utils.native_npz import load_npz_many
+
+    items = list(items)
+    npzs = load_npz_many([it.path for it in items], n_threads=8)
+    for it, z in zip(items, npzs):
+        if z is None:
+            raise IOError(f"could not open mesh npz '{it.path}'")
     feats = [
-        compute_video_features(it, paths, stats, mods, min_rows=min_rows)
-        for it in items
+        compute_video_features(it, paths, stats, mods, min_rows=min_rows, npz=z)
+        for it, z in zip(items, npzs)
     ]
     offsets = np.zeros(len(feats), np.int32)
     row_limit = np.zeros(len(feats), np.int32)

@@ -1,22 +1,22 @@
 """Person detection with pure-XLA NMS, batched over frame stacks.
 
-Capability parity with the reference's detectron2 Faster R-CNN person
-detector and its usage pattern (C26/SURVEY §2.2): per-frame person boxes
-with score thresholding, followed by the single-person video filter
-(ref ``mesh_generator.py:103-117``: keep a frame iff exactly ONE person box
-with class==person and score > 0.5; reject the video if fewer than 80% of
-frames qualify).
+Capability parity with the reference's person-detection stage and its usage
+pattern (C26/SURVEY §2.2): per-frame person boxes with score thresholding,
+followed by the single-person video filter (ref ``mesh_generator.py:103-117``:
+keep a frame iff exactly ONE person box with class==person and score > 0.5;
+reject the video if fewer than 80% of frames qualify).
 
-TPU-first design: the reference calls the detector once per frame in a
-Python loop (the #1 throughput sink per SURVEY §3.3); here the whole frame
-stack is one batched forward, and NMS is expressed with ``lax`` primitives
-(top-k + iterative IoU suppression) so it stays on device with static shapes.
+TPU-first design: the reference calls its detector once per frame in a Python
+loop (the #1 throughput sink per SURVEY §3.3); here the whole frame stack is
+one batched forward, and NMS is expressed with ``lax`` primitives (top-k +
+iterative IoU suppression) so it stays on device with static shapes.
 
-The network is a compact YOLOX-style anchor-free detector (decoupled head
-over strided feature maps). Converting the reference's exact pretrained
-weights requires the external detectron2 checkpoint (not shipped in the
-reference repo); the detection/filtering semantics here are exact and
-unit-tested, and the NMS is validated against torchvision's reference NMS.
+The network is the PUBLISHED YOLOX architecture (Megvii layout: CSPDarknet
+with Focus stem, YOLOPAFPN neck, decoupled heads; exact exp-wh/grid decode) —
+the same detector DWPose's ONNX person-detection graph is exported from — so
+the published yolox checkpoints convert 1:1 through :func:`yolox_to_flax`,
+unit-tested against a torch replica (``tests/test_yolox.py``). Only the
+checkpoint files themselves are absent from this image.
 """
 
 from __future__ import annotations
@@ -24,24 +24,152 @@ from __future__ import annotations
 import dataclasses
 import typing as T
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .pose2d import ConvBNAct, CSPStage
+from .pose2d import BatchNormInference, ConvBN, SPPBottleneck
 
 
 @dataclasses.dataclass(frozen=True)
 class DetectorConfig:
+    """YOLOX hyperparameters: ``depth``/``width`` scale exactly as Megvii's
+    ``yolox_base`` does; :meth:`yolox_l` is the layout of DWPose's detector."""
+
     input_hw: T.Tuple[int, int] = (416, 416)
-    widths: T.Tuple[int, ...] = (32, 64, 128, 256)
+    depth: float = 0.33
+    width: float = 0.25
     strides: T.Tuple[int, ...] = (8, 16, 32)
     num_classes: int = 80
     max_detections: int = 16
 
+    @property
+    def base_channels(self) -> int:
+        return int(64 * self.width)
 
-class YOLOXLiteDetector(nn.Module):
-    """Anchor-free detector: CSP backbone -> per-scale decoupled heads."""
+    @property
+    def base_depth(self) -> int:
+        return max(round(3 * self.depth), 1)
+
+    def ch(self, mult: int) -> int:
+        return int(64 * mult * self.width)
+
+    @classmethod
+    def yolox_l(cls) -> "DetectorConfig":
+        return cls(input_hw=(640, 640), depth=1.0, width=1.0)
+
+
+class Bottleneck(nn.Module):
+    """Megvii Bottleneck: 1x1 -> 3x3, optional residual."""
+
+    features: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBN(self.features, kernel=1, name="conv1")(x)
+        y = ConvBN(self.features, kernel=3, name="conv2")(y)
+        return x + y if self.shortcut else y
+
+
+class CSPLayerYX(nn.Module):
+    """Megvii CSPLayer: conv1 -> n bottlenecks || conv2, concat, conv3."""
+
+    features: int
+    n_blocks: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.features // 2
+        a = ConvBN(hidden, kernel=1, name="conv1")(x)
+        for i in range(self.n_blocks):
+            a = Bottleneck(hidden, self.shortcut, name=f"m{i}")(a)
+        b = ConvBN(hidden, kernel=1, name="conv2")(x)
+        return ConvBN(self.features, kernel=1, name="conv3")(
+            jnp.concatenate([a, b], axis=-1)
+        )
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: 2x2 patch split (TL, BL, TR, BR channel order —
+    Megvii's exact concatenation order) + 3x3 conv."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        tl = x[:, ::2, ::2, :]
+        tr = x[:, ::2, 1::2, :]
+        bl = x[:, 1::2, ::2, :]
+        br = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+        return ConvBN(self.features, kernel=3, name="conv")(x)
+
+
+class CSPDarknet(nn.Module):
+    """YOLOX backbone; returns (dark3, dark4, dark5) features."""
+
+    config: DetectorConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        base, bd = cfg.base_channels, cfg.base_depth
+        x = Focus(base, name="stem")(x)                              # /2
+        x = ConvBN(base * 2, stride=2, name="dark2_conv")(x)         # /4
+        x = CSPLayerYX(base * 2, bd, name="dark2_csp")(x)
+        x = ConvBN(base * 4, stride=2, name="dark3_conv")(x)         # /8
+        x = d3 = CSPLayerYX(base * 4, bd * 3, name="dark3_csp")(x)
+        x = ConvBN(base * 8, stride=2, name="dark4_conv")(x)         # /16
+        x = d4 = CSPLayerYX(base * 8, bd * 3, name="dark4_csp")(x)
+        x = ConvBN(base * 16, stride=2, name="dark5_conv")(x)        # /32
+        x = SPPBottleneck(base * 16, name="dark5_spp")(x)
+        d5 = CSPLayerYX(base * 16, bd, shortcut=False, name="dark5_csp")(x)
+        return d3, d4, d5
+
+
+def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x (torch nn.Upsample(scale_factor=2))."""
+    B, H, W, C = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+    ).reshape(B, 2 * H, 2 * W, C)
+
+
+class YOLOPAFPN(nn.Module):
+    """YOLOX neck: top-down FPN + bottom-up PAN over dark3/4/5."""
+
+    config: DetectorConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        bd = cfg.base_depth
+        c256, c512, c1024 = cfg.ch(4), cfg.ch(8), cfg.ch(16)
+        x2, x1, x0 = CSPDarknet(cfg, name="backbone")(x)
+
+        fpn_out0 = ConvBN(c512, kernel=1, name="lateral_conv0")(x0)
+        f = jnp.concatenate([_upsample2(fpn_out0), x1], axis=-1)
+        f_out0 = CSPLayerYX(c512, bd, shortcut=False, name="C3_p4")(f)
+
+        fpn_out1 = ConvBN(c256, kernel=1, name="reduce_conv1")(f_out0)
+        f = jnp.concatenate([_upsample2(fpn_out1), x2], axis=-1)
+        pan_out2 = CSPLayerYX(c256, bd, shortcut=False, name="C3_p3")(f)   # /8
+
+        p = ConvBN(c256, stride=2, name="bu_conv2")(pan_out2)
+        f = jnp.concatenate([p, fpn_out1], axis=-1)
+        pan_out1 = CSPLayerYX(c512, bd, shortcut=False, name="C3_n3")(f)   # /16
+
+        p = ConvBN(c512, stride=2, name="bu_conv1")(pan_out1)
+        f = jnp.concatenate([p, fpn_out0], axis=-1)
+        pan_out0 = CSPLayerYX(c1024, bd, shortcut=False, name="C3_n4")(f)  # /32
+        return pan_out2, pan_out1, pan_out0
+
+
+class YOLOXDetector(nn.Module):
+    """YOLOX: PAFPN + decoupled heads, Megvii inference decode."""
 
     config: DetectorConfig
 
@@ -50,34 +178,26 @@ class YOLOXLiteDetector(nn.Module):
         """``frames``: [B, H, W, 3] -> raw predictions per location:
         boxes_xyxy [B, N, 4], obj [B, N], cls [B, N, C]."""
         cfg = self.config
-        x = ConvBNAct(cfg.widths[0], stride=2)(frames)          # /2
-        feats = []
-        for i, w_ch in enumerate(cfg.widths[1:]):
-            x = ConvBNAct(w_ch, stride=2)(x)                    # /4 /8 /16
-            x = CSPStage(w_ch)(x)
-            if i >= len(cfg.widths) - 4 + 1:
-                feats.append(x)
-        # one more downsample for stride 32
-        x = ConvBNAct(cfg.widths[-1], stride=2)(x)
-        feats.append(x)
-        feats = feats[-len(cfg.strides):]
+        hidden = cfg.ch(4)
+        feats = YOLOPAFPN(cfg, name="neck")(frames)
 
         all_boxes, all_obj, all_cls = [], [], []
-        for stride, f in zip(cfg.strides, feats):
-            h = ConvBNAct(128, kernel=1)(f)
-            reg = nn.Conv(4, (1, 1), name=f"reg_s{stride}")(h)      # [B,h,w,4]
-            obj = nn.Conv(1, (1, 1), name=f"obj_s{stride}")(h)
-            cls = nn.Conv(cfg.num_classes, (1, 1), name=f"cls_s{stride}")(h)
+        for i, (stride, f) in enumerate(zip(cfg.strides, feats)):
+            h = ConvBN(hidden, kernel=1, name=f"stem{i}")(f)
+            c = ConvBN(hidden, kernel=3, name=f"cls_conv{i}_0")(h)
+            c = ConvBN(hidden, kernel=3, name=f"cls_conv{i}_1")(c)
+            r = ConvBN(hidden, kernel=3, name=f"reg_conv{i}_0")(h)
+            r = ConvBN(hidden, kernel=3, name=f"reg_conv{i}_1")(r)
+            cls = nn.Conv(cfg.num_classes, (1, 1), name=f"cls_pred{i}")(c)
+            reg = nn.Conv(4, (1, 1), name=f"reg_pred{i}")(r)
+            obj = nn.Conv(1, (1, 1), name=f"obj_pred{i}")(r)
+
             B, fh, fw, _ = reg.shape
-            gy = jnp.arange(fh, dtype=reg.dtype)
-            gx = jnp.arange(fw, dtype=reg.dtype)
-            cx = (gx[None, :] + 0.5) * stride
-            cy = (gy[:, None] + 0.5) * stride
-            cx = jnp.broadcast_to(cx, (fh, fw))
-            cy = jnp.broadcast_to(cy, (fh, fw))
-            # YOLOX decode: xy offset, wh exp
-            px = cx[None] + reg[..., 0] * stride
-            py = cy[None] + reg[..., 1] * stride
+            gy = jnp.arange(fh, dtype=reg.dtype)[:, None]
+            gx = jnp.arange(fw, dtype=reg.dtype)[None, :]
+            # Megvii decode: center = (pred_xy + grid) * stride, wh = exp * stride
+            px = (jnp.broadcast_to(gx, (fh, fw))[None] + reg[..., 0]) * stride
+            py = (jnp.broadcast_to(gy, (fh, fw))[None] + reg[..., 1]) * stride
             pw = jnp.exp(jnp.clip(reg[..., 2], -8, 8)) * stride
             ph = jnp.exp(jnp.clip(reg[..., 3], -8, 8)) * stride
             boxes = jnp.stack(
@@ -91,6 +211,89 @@ class YOLOXLiteDetector(nn.Module):
             "obj": jnp.concatenate(all_obj, axis=1),
             "cls": jnp.concatenate(all_cls, axis=1),
         }
+
+
+# backwards-compatible alias (round-1 name)
+YOLOXLiteDetector = YOLOXDetector
+
+
+def yolox_to_flax(sd: T.Dict[str, T.Any], cfg: DetectorConfig) -> T.Dict:
+    """Map a Megvii-layout YOLOX state_dict (``backbone.*`` = YOLOPAFPN with
+    nested ``backbone.backbone.*`` CSPDarknet, ``head.*`` = YOLOXHead) onto
+    :class:`YOLOXDetector`'s param tree. Works on ``{name: np.ndarray}``."""
+
+    def conv(prefix):
+        return {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 1, 0))}
+
+    def bn(prefix):
+        return {
+            "scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+            "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}.running_var"]),
+        }
+
+    def convbn(prefix):
+        return {"conv": conv(f"{prefix}.conv"), "bn": bn(f"{prefix}.bn")}
+
+    def pred(prefix):
+        return {
+            "kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 1, 0)),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    def csp(prefix):
+        out = {
+            "conv1": convbn(f"{prefix}.conv1"),
+            "conv2": convbn(f"{prefix}.conv2"),
+            "conv3": convbn(f"{prefix}.conv3"),
+        }
+        i = 0
+        while f"{prefix}.m.{i}.conv1.conv.weight" in sd:
+            out[f"m{i}"] = {
+                "conv1": convbn(f"{prefix}.m.{i}.conv1"),
+                "conv2": convbn(f"{prefix}.m.{i}.conv2"),
+            }
+            i += 1
+        return out
+
+    bb = "backbone.backbone"
+    darknet: T.Dict[str, T.Any] = {
+        "stem": {"conv": convbn(f"{bb}.stem.conv")},
+        "dark2_conv": convbn(f"{bb}.dark2.0"),
+        "dark2_csp": csp(f"{bb}.dark2.1"),
+        "dark3_conv": convbn(f"{bb}.dark3.0"),
+        "dark3_csp": csp(f"{bb}.dark3.1"),
+        "dark4_conv": convbn(f"{bb}.dark4.0"),
+        "dark4_csp": csp(f"{bb}.dark4.1"),
+        "dark5_conv": convbn(f"{bb}.dark5.0"),
+        "dark5_spp": {
+            "conv1": convbn(f"{bb}.dark5.1.conv1"),
+            "conv2": convbn(f"{bb}.dark5.1.conv2"),
+        },
+        "dark5_csp": csp(f"{bb}.dark5.2"),
+    }
+    neck: T.Dict[str, T.Any] = {
+        "backbone": darknet,
+        "lateral_conv0": convbn("backbone.lateral_conv0"),
+        "C3_p4": csp("backbone.C3_p4"),
+        "reduce_conv1": convbn("backbone.reduce_conv1"),
+        "C3_p3": csp("backbone.C3_p3"),
+        "bu_conv2": convbn("backbone.bu_conv2"),
+        "C3_n3": csp("backbone.C3_n3"),
+        "bu_conv1": convbn("backbone.bu_conv1"),
+        "C3_n4": csp("backbone.C3_n4"),
+    }
+    params: T.Dict[str, T.Any] = {"neck": neck}
+    for i in range(len(cfg.strides)):
+        params[f"stem{i}"] = convbn(f"head.stems.{i}")
+        for j in range(2):
+            params[f"cls_conv{i}_{j}"] = convbn(f"head.cls_convs.{i}.{j}")
+            params[f"reg_conv{i}_{j}"] = convbn(f"head.reg_convs.{i}.{j}")
+        params[f"cls_pred{i}"] = pred(f"head.cls_preds.{i}")
+        params[f"reg_pred{i}"] = pred(f"head.reg_preds.{i}")
+        params[f"obj_pred{i}"] = pred(f"head.obj_preds.{i}")
+    return params
 
 
 def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -55,54 +55,95 @@ class SMPLHeadConfig:
         return 6 * (self.num_body_joints + 1)  # 144: grot + 21 body + 2 hands
 
 
-class _Attention(nn.Module):
+class _SelfAttention(nn.Module):
+    """Upstream ``pose_transformer.Attention``: fused qkv projection
+    (``to_qkv`` [dim, 3*heads*dim_head], no bias), scale ``dim_head**-0.5``,
+    output projection ``to_out`` (with bias). Note inner dim (heads*dim_head)
+    need not equal ``dim`` — HMR2/TokenHMR use 8x64=512 inside dim=1024."""
+
     dim: int
     heads: int
     dim_head: int
-    context_dim: T.Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: T.Optional[jnp.ndarray] = None):
-        ctx = x if context is None else context
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, N, _ = x.shape
+        q = q.reshape(B, N, self.heads, self.dim_head)
+        k = k.reshape(B, N, self.heads, self.dim_head)
+        v = v.reshape(B, N, self.heads, self.dim_head)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) * (self.dim_head ** -0.5), axis=-1
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, inner)
+        return nn.Dense(self.dim, name="to_out")(out)
+
+
+class _CrossAttention(nn.Module):
+    """Upstream ``pose_transformer.CrossAttention``: ``to_q`` from the token
+    stream, fused ``to_kv`` from the context stream (both bias-free),
+    ``to_out`` with bias."""
+
+    dim: int
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
-        B, Nq, _ = q.shape
-        Nk = k.shape[1]
+        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        B, Nq, _ = x.shape
+        Nk = context.shape[1]
         q = q.reshape(B, Nq, self.heads, self.dim_head)
         k = k.reshape(B, Nk, self.heads, self.dim_head)
         v = v.reshape(B, Nk, self.heads, self.dim_head)
         attn = jax.nn.softmax(
-            jnp.einsum("bqhd,bkhd->bhqk", q, k)
-            / jnp.sqrt(self.dim_head).astype(x.dtype),
-            axis=-1,
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) * (self.dim_head ** -0.5), axis=-1
         )
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Nq, inner)
         return nn.Dense(self.dim, name="to_out")(out)
 
 
 class CrossAttentionDecoder(nn.Module):
-    """Pre-LN decoder: [self-attn, cross-attn(context), FFN] x depth."""
+    """Exact flax re-layout of the upstream ``TransformerDecoder`` the
+    reference head instantiates (ref ``modifications/token_head.py:151-153``;
+    upstream HMR2/TokenHMR ``pose_transformer.py``):
+
+      x = to_token_embedding(token); x = x + pos_embedding
+      per layer: x = SA(LN(x)) + x ; x = CA(LN(x), ctx) + x ; x = FF(LN(x)) + x
+
+    Pre-norm residual blocks (norm INSIDE the residual branch), torch LayerNorm
+    eps 1e-5, exact GELU, and NO final layer norm. Every parameter has a
+    1:1 torch counterpart (see :func:`torch_head_to_flax`)."""
 
     config: SMPLHeadConfig
 
     @nn.compact
     def __call__(self, token: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        x = nn.Dense(cfg.dim, name="token_embed")(token)
+        x = nn.Dense(cfg.dim, name="to_token_embedding")(token)
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(1.0),
+            (1, 1, cfg.dim),
+        )
+        x = x + pos[:, : x.shape[1]]
         for i in range(cfg.depth):
-            h = nn.LayerNorm(epsilon=1e-6, name=f"sa_ln{i}")(x)
-            x = x + _Attention(cfg.dim, cfg.heads, cfg.dim_head, name=f"sa{i}")(h)
-            h = nn.LayerNorm(epsilon=1e-6, name=f"ca_ln{i}")(x)
-            x = x + _Attention(
-                cfg.dim, cfg.heads, cfg.dim_head, context_dim=cfg.context_dim, name=f"ca{i}"
-            )(h, context)
-            h = nn.LayerNorm(epsilon=1e-6, name=f"ff_ln{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"sa_ln{i}")(x)
+            x = x + _SelfAttention(cfg.dim, cfg.heads, cfg.dim_head, name=f"sa{i}")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ca_ln{i}")(x)
+            x = x + _CrossAttention(cfg.dim, cfg.heads, cfg.dim_head, name=f"ca{i}")(
+                h, context
+            )
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ff_ln{i}")(x)
             h = nn.Dense(cfg.mlp_dim, name=f"ff1_{i}")(h)
             h = jax.nn.gelu(h, approximate=False)
             x = x + nn.Dense(cfg.dim, name=f"ff2_{i}")(h)
-        return nn.LayerNorm(epsilon=1e-6, name="final_ln")(x)
+        return x
 
 
 class TokenClassifier(nn.Module):
@@ -182,15 +223,26 @@ class SMPLTokenDecoderHead(nn.Module):
 
 
 def torch_head_to_flax(sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig) -> T.Dict:
-    """Map the reference head's torch linear readouts onto this tree (the
-    readout layers have stable names; decoder/classifier internals depend on
-    the upstream checkpoint layout and are mapped where present)."""
+    """Map the reference head's torch state_dict onto this tree.
+
+    Covers the linear readouts, the IEF init buffers, AND the full upstream
+    ``TransformerDecoder`` (ref ``modifications/token_head.py:151-153``;
+    upstream key layout ``transformer.to_token_embedding``,
+    ``transformer.pos_embedding``, ``transformer.transformer.layers.{i}.{j}``
+    with j=0 self-attn / j=1 cross-attn / j=2 feed-forward, each a PreNorm
+    wrapper with ``.norm`` + ``.fn``). The decoder alone determines
+    ``token_out`` — the per-frame "vit" modality the scorer consumes — so this
+    mapping is what end-to-end feature parity rides on. The TokenClassfier
+    (``decpose.*``) readout keys are mapped where their names are present."""
 
     def dense(prefix):
         out = {"kernel": np.transpose(sd[f"{prefix}.weight"], (1, 0))}
         if f"{prefix}.bias" in sd:
             out["bias"] = sd[f"{prefix}.bias"]
         return out
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
     params: T.Dict[str, T.Any] = {}
     for name in ("decpose_grot", "decpose_hands", "decshape", "deccam"):
@@ -199,4 +251,29 @@ def torch_head_to_flax(sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig) -> T.Di
     for buf in ("init_body_pose", "init_betas", "init_cam"):
         if buf in sd:
             params[buf] = sd[buf]
+
+    if "transformer.to_token_embedding.weight" in sd:
+        dec: T.Dict[str, T.Any] = {
+            "to_token_embedding": dense("transformer.to_token_embedding"),
+            "pos_embedding": sd["transformer.pos_embedding"],
+        }
+        i = 0
+        while f"transformer.transformer.layers.{i}.0.norm.weight" in sd:
+            p = f"transformer.transformer.layers.{i}"
+            dec[f"sa_ln{i}"] = ln(f"{p}.0.norm")
+            dec[f"sa{i}"] = {
+                "to_qkv": dense(f"{p}.0.fn.to_qkv"),
+                "to_out": dense(f"{p}.0.fn.to_out.0"),
+            }
+            dec[f"ca_ln{i}"] = ln(f"{p}.1.norm")
+            dec[f"ca{i}"] = {
+                "to_q": dense(f"{p}.1.fn.to_q"),
+                "to_kv": dense(f"{p}.1.fn.to_kv"),
+                "to_out": dense(f"{p}.1.fn.to_out.0"),
+            }
+            dec[f"ff_ln{i}"] = ln(f"{p}.2.norm")
+            dec[f"ff1_{i}"] = dense(f"{p}.2.fn.net.0")
+            dec[f"ff2_{i}"] = dense(f"{p}.2.fn.net.3")
+            i += 1
+        params["decoder"] = dec
     return params

@@ -55,10 +55,29 @@ def _movement_encoder_t2f(sd: TorchStateDict, prefix: str) -> FlaxParams:
     return out
 
 
+class _TrackingDict(dict):
+    """Records which keys the converter consumed (strict-mode accounting)."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.used: T.Set[str] = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
 def torch_state_dict_to_flax(
-    sd: TorchStateDict, config: EncoderConfig
+    sd: TorchStateDict, config: EncoderConfig, strict: bool = False
 ) -> FlaxParams:
-    """Convert a reference-layout torch state_dict into our flax param tree."""
+    """Convert a reference-layout torch state_dict into our flax param tree.
+
+    ``strict=False`` (default) mirrors the reference's permissive
+    ``strict=False`` loading (ref ``eval.py:136-165``, gated by
+    ``BugCompat.permissive_ckpt``); ``strict=True`` raises on any torch key
+    the conversion did not consume (deterministic ``pos_enc.pe`` buffers are
+    always exempt — they are recomputed)."""
+    sd = _TrackingDict(sd)
     params: FlaxParams = {}
     diff_dims = dict(config.dims_map_diff)
 
@@ -103,6 +122,15 @@ def torch_state_dict_to_flax(
             "ln2": {"scale": sd[f"{p}.norm2.weight"], "bias": sd[f"{p}.norm2.bias"]},
         }
 
+    if strict:
+        leftovers = {
+            k for k in sd if k not in sd.used and "pos_enc.pe" not in k
+        }
+        if leftovers:
+            raise KeyError(
+                f"strict conversion: {len(leftovers)} unconsumed torch keys, "
+                f"e.g. {sorted(leftovers)[:5]}"
+            )
     return params
 
 
@@ -161,9 +189,12 @@ def flax_params_to_torch_state_dict(
     return sd
 
 
-def load_torch_checkpoint(path: str, config: EncoderConfig) -> FlaxParams:
+def load_torch_checkpoint(
+    path: str, config: EncoderConfig, strict: bool = False
+) -> FlaxParams:
     """Load a reference ``.pt`` checkpoint (permissive like ref ``eval.py:136-165``:
-    accepts ``model_state_dict`` / ``state_dict`` wrappers or a bare dict)."""
+    accepts ``model_state_dict`` / ``state_dict`` wrappers or a bare dict).
+    ``strict=True`` (``--no-bug-compat``) raises on unconsumed keys."""
     import torch  # local import: only needed when actually converting
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -174,4 +205,4 @@ def load_torch_checkpoint(path: str, config: EncoderConfig) -> FlaxParams:
     else:
         sd = ckpt
     sd_np = {k: v.detach().cpu().numpy() for k, v in sd.items()}
-    return torch_state_dict_to_flax(sd_np, config)
+    return torch_state_dict_to_flax(sd_np, config, strict=strict)

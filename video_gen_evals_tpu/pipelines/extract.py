@@ -173,9 +173,22 @@ class Extractor:
             )
             return kps134, sc134
 
+        @jax.jit
+        def kp_post(kps134, sc134, frame_wh):
+            """Batched DWPose postprocess + 120-d flatten over all frames at
+            once (each frame holds the single detected person, P=1). Replaces
+            the reference's per-frame host loop (ref ``process_video.py:63-86``)."""
+
+            def one(k, s):
+                post = dwpose_postprocess(k[None], s[None], frame_wh)
+                return flatten_first_person(post)
+
+            return jax.vmap(one)(kps134, sc134)
+
         self._detect = detect
         self._mesh_forward = mesh_forward
         self._pose_forward = pose_forward
+        self._kp_post = kp_post
 
     # ------------------------------------------------------------------
     def _batched(self, fn, frames: np.ndarray, *extra):
@@ -252,16 +265,9 @@ class Extractor:
             np.asarray(box1),
         )
 
-        kp120 = np.zeros((Tn, 120), np.float32)
-        valid = np.zeros(Tn, bool)
-        for t in range(Tn):
-            post = dwpose_postprocess(
-                jnp.asarray(kps134[t : t + 1]), jnp.asarray(sc134[t : t + 1]), wh
-            )
-            k, v = flatten_first_person(post)
-            kp120[t] = np.asarray(k)
-            valid[t] = bool(v) and bool(np.asarray(single)[t])
-        return {"kp120": kp120, "valid": valid}
+        kp120, valid = self._kp_post(jnp.asarray(kps134), jnp.asarray(sc134), wh)
+        valid = np.asarray(valid) & np.asarray(single)
+        return {"kp120": np.asarray(kp120), "valid": valid}
 
     # ------------------------------------------------------------------
     def run_tree(
@@ -348,9 +354,13 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--out-kps", default=None)
     p.add_argument("--log-dir", default="EXTRACTION_LOGS")
     p.add_argument("--action", default=None)
+    p.add_argument("--bug-compat", dest="bug_compat", action="store_true", default=True,
+                   help="reproduce the reference's keypoint frame-dropping "
+                        "(mesh/kp misalignment quirk) — see core.config.BugCompat")
+    p.add_argument("--no-bug-compat", dest="bug_compat", action="store_false")
     args = p.parse_args(argv)
 
-    ex = Extractor()
+    ex = Extractor(ExtractorConfig(kp_bug_compat=args.bug_compat))
     counts = ex.run_tree(
         args.videos,
         args.out_meshes,

@@ -72,12 +72,44 @@ class WindowEncoder:
         batch_size: int,
         clip_len: int,
         matmul_precision: str = "high",
-        gather_impl: str = "sliced",
+        gather_impl: str = "auto",
+        mesh=None,
     ):
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.clip_len = clip_len
+        self.mesh = mesh
+        # "auto": burst Pallas DMA gather on single-chip TPU when the batch
+        # and starts satisfy its alignment contract (checked per sweep in
+        # encode_bank), falling back to the pure-XLA sliced gather. Sharded
+        # (mesh) sweeps stay on the XLA path: GSPMD partitions it directly.
+        self._try_burst = (
+            gather_impl in ("auto", "burst")
+            and mesh is None
+            and jax.default_backend() == "tpu"
+            and clip_len % 8 == 0
+            and batch_size % 8 == 0
+        )
+        self._encode_burst = None
+        if gather_impl == "auto":
+            gather_impl = "sliced"
+        elif gather_impl == "burst":
+            gather_impl = "sliced"  # fallback fn when alignment fails
+        self._batch_shard = self._rep_shard = None
+        if mesh is not None:
+            # window-axis sharding over `data` (SURVEY §5.8): each chip
+            # encodes batch/n_data windows from a replicated bank
+            from ..parallel import batch_sharding, replicated_sharding
+
+            if batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over the "
+                    f"mesh data axis ({mesh.shape['data']})"
+                )
+            self._batch_shard = batch_sharding(mesh)
+            self._rep_shard = replicated_sharding(mesh)
+            self.params = jax.device_put(params, self._rep_shard)
         gather = {
             "sliced": gather_windows_sliced,  # fastest pure-XLA path
             "take": gather_windows,           # exact for arbitrary starts
@@ -95,6 +127,27 @@ class WindowEncoder:
 
         self._encode = jax.jit(_encode, static_argnames=("one_pass_raw",))
 
+        if self._try_burst:
+            from ..ops.window_kernel import pallas_gather_windows_burst
+
+            def _encode_burst(
+                params, bank_pad, offsets, row_limit, z0, video_idx, starts,
+                one_pass_raw, out_dim,
+            ):
+                with jax.default_matmul_precision(matmul_precision):
+                    w = pallas_gather_windows_burst(
+                        bank_pad, offsets, row_limit, z0, one_pass_raw,
+                        video_idx, starts, clip_len, out_dim=out_dim,
+                    )
+                    seq, frames, _ = model.apply(
+                        {"params": params}, w, deterministic=True
+                    )
+                    return seq, tc_per_window(frames)
+
+            self._encode_burst = jax.jit(
+                _encode_burst, static_argnames=("one_pass_raw", "out_dim")
+            )
+
     def encode_bank(
         self, bank: FeatureBank, windows: T.Sequence[T.Tuple[int, int]]
     ) -> T.Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -107,6 +160,23 @@ class WindowEncoder:
         offsets_d = jnp.asarray(bank.offsets)
         row_limit_d = jnp.asarray(bank.row_limit)
         z0_d = jnp.asarray(bank.z0_diff)
+        if self.mesh is not None:
+            bank_d, offsets_d, row_limit_d, z0_d = (
+                jax.device_put(a, self._rep_shard)
+                for a in (bank_d, offsets_d, row_limit_d, z0_d)
+            )
+
+        use_burst = (
+            self._try_burst
+            and np.all(np.asarray(bank.offsets) % 8 == 0)
+            and np.all((np.asarray(bank.row_limit) + 1) % 8 == 0)
+            and np.all(starts % 8 == 0)
+        )
+        if use_burst:
+            from ..ops.window_kernel import pad_bank_lanes
+
+            bank_burst = pad_bank_lanes(bank_d)
+            out_dim = int(bank_d.shape[1])
 
         seqs, tcs = [], []
         B = self.batch_size
@@ -117,16 +187,33 @@ class WindowEncoder:
             if pad:
                 vi = np.concatenate([vi, np.repeat(vi[-1:], pad)])
                 st = np.concatenate([st, np.repeat(st[-1:], pad)])
-            seq, tc = self._encode(
-                self.params,
-                bank_d,
-                offsets_d,
-                row_limit_d,
-                z0_d,
-                jnp.asarray(vi),
-                jnp.asarray(st),
-                bank.one_pass_raw,
-            )
+            vi_d, st_d = jnp.asarray(vi), jnp.asarray(st)
+            if self.mesh is not None:
+                vi_d = jax.device_put(vi_d, self._batch_shard)
+                st_d = jax.device_put(st_d, self._batch_shard)
+            if use_burst:
+                seq, tc = self._encode_burst(
+                    self.params,
+                    bank_burst,
+                    offsets_d,
+                    row_limit_d,
+                    z0_d,
+                    vi_d,
+                    st_d,
+                    bank.one_pass_raw,
+                    out_dim,
+                )
+            else:
+                seq, tc = self._encode(
+                    self.params,
+                    bank_d,
+                    offsets_d,
+                    row_limit_d,
+                    z0_d,
+                    vi_d,
+                    st_d,
+                    bank.one_pass_raw,
+                )
             if pad:
                 seq, tc = seq[:-pad], tc[:-pad]
             seqs.append(np.asarray(seq))
@@ -297,11 +384,27 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--output", default="video_scores.json")
     p.add_argument("--dump-features", default=None,
                    help="optional .npz window-feature cache (ref window_features.pt)")
+    p.add_argument("--bug-compat", dest="bug_compat", action="store_true", default=True,
+                   help="reproduce the reference's accidental behaviors "
+                        "(layout auto-detection, permissive ckpt loading) — "
+                        "see core.config.BugCompat / PARITY.md")
+    p.add_argument("--no-bug-compat", dest="bug_compat", action="store_false")
     args = p.parse_args(argv)
 
+    from ..core.config import BugCompat
+
+    bc = BugCompat.enabled() if args.bug_compat else BugCompat.disabled()
     cfg = ScoreConfig(args.clip_len, args.stride, args.batch_size)
-    real_paths = ModalityPaths(keypoint_dir=args.real_kp_dir, layout="real")
-    gen_paths = ModalityPaths(keypoint_dir=args.gen_kp_dir, layout="generated")
+    # bug-compat: side-modality layout keyed off the keypoint dir NAME
+    # (ref utils.py:411-446); otherwise the explicit layouts
+    real_paths = ModalityPaths(
+        keypoint_dir=args.real_kp_dir,
+        layout="auto" if bc.layout_auto else "real",
+    )
+    gen_paths = ModalityPaths(
+        keypoint_dir=args.gen_kp_dir,
+        layout="auto" if bc.layout_auto else "generated",
+    )
 
     real_manifest = scan_class_tree(args.real_meshes, filter_classes=list(ACTION_CLASSES))
     train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
@@ -312,7 +415,9 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     if args.checkpoint.endswith(".pt"):
         from ..models.torch_compat import load_torch_checkpoint
 
-        params = load_torch_checkpoint(args.checkpoint, enc_cfg)
+        params = load_torch_checkpoint(
+            args.checkpoint, enc_cfg, strict=not bc.permissive_ckpt
+        )
     else:
         from ..train.checkpoint import restore_params
 

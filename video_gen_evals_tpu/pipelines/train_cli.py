@@ -23,6 +23,13 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--stride", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--save-dir", default=None)
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel devices: shard PK batches over a "
+                        "dp-way mesh (default: single device; also settable "
+                        "via TrainConfig.num_dp_devices)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel devices per data shard (Megatron-"
+                        "style shardings over the `model` mesh axis)")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.from_json(args.config) if args.config else TrainConfig()
@@ -42,7 +49,15 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         if v is not None:
             setattr(cfg, field, v)
 
-    exp = Experiment(cfg)
+    mesh = None
+    n_dp = args.dp if args.dp is not None else cfg.num_dp_devices
+    if (n_dp and n_dp > 1) or args.tp > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=n_dp, n_model=args.tp)
+        print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+
+    exp = Experiment(cfg, mesh=mesh)
     print(
         f"Training on {len(exp.train_ds)} videos ({len(exp.train_windows)} windows), "
         f"evaluating on {len(exp.test_ds)} videos; classes: {exp.full_ds.classes}"

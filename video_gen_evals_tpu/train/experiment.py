@@ -52,6 +52,20 @@ class Experiment:
         self.mesh = mesh
         self.eval_batch = eval_batch
         self.rng = jax.random.key(cfg.seed)
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated_sharding
+
+            n_data = mesh.shape["data"]
+            if (cfg.P * cfg.K) % n_data != 0:
+                raise ValueError(
+                    f"PK batch size {cfg.P * cfg.K} must divide evenly over the "
+                    f"mesh data axis ({n_data})"
+                )
+            self._batch_shard = batch_sharding(mesh)
+            self._rep_shard = replicated_sharding(mesh)
+        else:
+            self._batch_shard = None
+            self._rep_shard = None
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
@@ -122,7 +136,16 @@ class Experiment:
         self.tx = make_optimizer(
             cfg.lr, steps_per_epoch * cfg.epochs, eta_min=cfg.eta_min
         )
-        self.state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        step_counter = jnp.zeros((), jnp.int32)
+        if mesh is not None:
+            # params TP-sharded over `model` (replicated when n_model=1);
+            # optimizer moments inherit the placement via zeros_like
+            from ..parallel import tp_param_sharding
+
+            params = jax.device_put(params, tp_param_sharding(mesh, params))
+            step_counter = jax.device_put(step_counter, self._rep_shard)
+            self.rng = jax.device_put(self.rng, self._rep_shard)
+        self.state = TrainState(params, self.tx.init(params), step_counter)
         self.train_step = make_train_step(self.model, self.tx, cfg.hard_negative_weight)
         self.eval_loss = make_eval_loss_fn(self.model, cfg.hard_negative_weight)
 
@@ -136,16 +159,31 @@ class Experiment:
 
     # ------------------------------------------------------------------
     def _bank_device(self, bank):
-        return (
+        arrs = (
             jnp.asarray(bank.bank),
             jnp.asarray(bank.offsets),
             jnp.asarray(bank.row_limit),
             jnp.asarray(bank.z0_diff),
         )
+        if self.mesh is not None:
+            # full bank replicated on every chip: each data shard gathers its
+            # own window slice from a local copy (no cross-chip traffic)
+            arrs = tuple(jax.device_put(a, self._rep_shard) for a in arrs)
+        return arrs
+
+    def _shard_batch(self, x):
+        """Shard the leading (window) axis over `data` when a mesh is active;
+        tail batches that don't divide stay replicated (same values, no
+        resharding error)."""
+        if self.mesh is None:
+            return x
+        if x.shape[0] % self.mesh.shape["data"] == 0:
+            return jax.device_put(x, self._batch_shard)
+        return jax.device_put(x, self._rep_shard)
 
     def _gather_batch(self, bank, bank_dev, windows, idxs):
-        vi = jnp.asarray(np.array([windows[i][0] for i in idxs], np.int32))
-        st = jnp.asarray(np.array([windows[i][1] for i in idxs], np.int32))
+        vi = self._shard_batch(jnp.asarray(np.array([windows[i][0] for i in idxs], np.int32)))
+        st = self._shard_batch(jnp.asarray(np.array([windows[i][1] for i in idxs], np.int32)))
         return self._gather(
             bank_dev[0],
             bank_dev[1],
@@ -174,7 +212,7 @@ class Experiment:
             feats = self._gather_batch(
                 self.train_bank, self._train_bank_dev, self.train_windows, batch_idx
             )
-            labels = jnp.asarray(self.window_labels[batch_idx])
+            labels = self._shard_batch(jnp.asarray(self.window_labels[batch_idx]))
             self.state, metrics = self.train_step(
                 self.state, feats, labels, self.rng
             )
@@ -198,7 +236,11 @@ class Experiment:
     # ------------------------------------------------------------------
     def _window_encoder(self) -> WindowEncoder:
         return WindowEncoder(
-            self.model, self.state.params, self.eval_batch, self.cfg.clip_len
+            self.model,
+            self.state.params,
+            self.eval_batch,
+            self.cfg.clip_len,
+            mesh=self.mesh,
         )
 
     def evaluate_centroids(self) -> np.ndarray:
@@ -232,7 +274,7 @@ class Experiment:
             feats = self._gather_batch(
                 self.test_bank, self._test_bank_dev, self.test_windows, idxs
             )
-            labels = jnp.asarray(test_labels[idxs])
+            labels = self._shard_batch(jnp.asarray(test_labels[idxs]))
             comps = self.eval_loss(
                 self.state.params, feats, labels, jax.random.fold_in(rng, lo)
             )

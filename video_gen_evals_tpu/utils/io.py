@@ -42,7 +42,18 @@ def save_video_npz(
 
 
 def load_all_frames(video_path: str, bgr2rgb: bool = True) -> np.ndarray:
-    """Decode every frame of a video (host CPU). Returns [T, H, W, 3] uint8."""
+    """Decode every frame of a video (host CPU). Returns [T, H, W, 3] uint8.
+
+    ``.npy`` paths are pre-decoded [T, H, W, 3] uint8 frame stacks (the
+    extraction driver accepts them alongside real videos — useful for tests
+    and for decode-offloaded pipelines)."""
+    if video_path.lower().endswith(".npy"):
+        frames = np.load(video_path)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise RuntimeError(
+                f"Frame stack {video_path} must be [T, H, W, 3], got {frames.shape}"
+            )
+        return frames.astype(np.uint8)
     try:
         import cv2  # type: ignore
     except ImportError as e:  # pragma: no cover
