@@ -1,0 +1,167 @@
+"""Full-pipeline benchmark (BASELINE.json config 4): video decode ->
+person detection -> TokenHMR-equivalent mesh net (+ DWPose-equivalent pose
+net) -> feature bank -> fusion encoder -> TAG AC/TC scores.
+
+The reference runs this as three separate scripts with a per-frame Python
+detector loop and a batch-8 mesh forward (ref ``extract_mesh.py``,
+``modifications/mesh_generator.py:103-146``, ``eval.py``); here the same
+chain is one in-process sweep: native libav decode (prefetched host
+threads), fully batched device inference, in-memory bank, jitted scoring.
+
+Prints one JSON line with end-to-end frames/sec (decode included) plus a
+breakdown. Usage:
+
+  python benchmarks/bench_full.py [--videos 4] [--frames 64] [--hw 240x320]
+                                  [--bf16] [--no-decode]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_videos(n: int, t: int, h: int, w: int, out_dir: str, seed: int = 0):
+    """Write n synthetic mp4s (moving blobs over noise) and return paths.
+    Falls back to .npy frame stacks when no encoder is available."""
+    rng = np.random.default_rng(seed)
+    paths = []
+    try:
+        import cv2  # type: ignore
+    except ImportError:
+        cv2 = None
+    for v in range(n):
+        base = rng.integers(0, 255, (h, w, 3), np.uint8)
+        frames = np.stack(
+            [np.roll(base, 5 * ti + v, axis=1) for ti in range(t)]
+        )
+        if cv2 is not None:
+            path = os.path.join(out_dir, f"vid{v}.mp4")
+            vw = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h)
+            )
+            for f in frames:
+                vw.write(f[:, :, ::-1])
+            vw.release()
+        else:
+            path = os.path.join(out_dir, f"vid{v}.npy")
+            np.save(path, frames)
+        paths.append(path)
+    return paths
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--videos", type=int, default=4)
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--hw", default="240x320")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--vit-depth", type=int, default=32)
+    p.add_argument("--no-decode", action="store_true",
+                   help="pre-decode outside the timed region")
+    args = p.parse_args()
+    H, W = (int(x) for x in args.hw.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_gen_evals_tpu.models import EncoderConfig
+    from video_gen_evals_tpu.models.fusion_encoder import init_encoder
+    from video_gen_evals_tpu.models.vit import ViTConfig
+    from video_gen_evals_tpu.pipelines.extract import Extractor, ExtractorConfig
+    from video_gen_evals_tpu.pipelines.full import score_videos_end_to_end
+    from video_gen_evals_tpu.pipelines.score import ScoreConfig
+    from video_gen_evals_tpu.utils.io import load_all_frames
+    from video_gen_evals_tpu.utils.native_video import native_available
+
+    ex_cfg = ExtractorConfig(vit=ViTConfig(depth=args.vit_depth))
+    extractor = Extractor(ex_cfg)
+    if args.bf16:
+        extractor.params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32
+            else a,
+            extractor.params,
+        )
+
+    # flagship encoder at the dims the extractor produces (no clip/dino)
+    dims_raw = {"vit": 1024, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
+    dims_diff = {"vit": 1024, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
+    enc_cfg = EncoderConfig.create(dims_raw, dims_diff)
+    model, params = init_encoder(enc_cfg, jax.random.key(0))
+
+    label_dict = {"jumping_jack": 0}
+    centroids = np.ones((1, 256), np.float32) / 16.0
+    score_cfg = ScoreConfig(batch_size=64)
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = synth_videos(args.videos, args.frames, H, W, td)
+        decoded = None
+        if args.no_decode:
+            decoded = {
+                f"v{i}_jumping_jack": load_all_frames(p)
+                for i, p in enumerate(paths)
+            }
+
+        def run_once():
+            if decoded is not None:
+                frames_by_video = decoded
+            else:
+                frames_by_video = {
+                    f"v{i}_jumping_jack": load_all_frames(p)
+                    for i, p in enumerate(paths)
+                }
+            return score_videos_end_to_end(
+                extractor,
+                model,
+                params,
+                frames_by_video,
+                centroids,
+                label_dict,
+                cfg=score_cfg,
+                with_keypoints=True,
+            )
+
+        # pass 1 compiles every stage; pass 2 is the steady-state number
+        t0 = time.perf_counter()
+        res = run_once()
+        compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = run_once()
+        steady = time.perf_counter() - t0
+
+    n_frames = args.videos * args.frames
+    for v in res.scores.values():
+        assert np.isfinite(v["tc"]), "non-finite TC from full pipeline"
+    print(
+        json.dumps(
+            {
+                "metric": "full_pipeline_frames_per_sec",
+                "value": round(n_frames / steady, 2),
+                "unit": "frames/sec",
+                "videos": args.videos,
+                "frames_per_video": args.frames,
+                "hw": f"{H}x{W}",
+                "vit_depth": args.vit_depth,
+                "dtype": "bfloat16" if args.bf16 else "float32",
+                "decode_included": not args.no_decode,
+                "native_decode": native_available(),
+                "first_pass_sec": round(compile_and_run, 2),
+                "steady_sec": round(steady, 2),
+                "scored": len(res.scores),
+                "rejected": len(res.rejected),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -278,9 +278,18 @@ class Extractor:
         kp_out_root: T.Optional[str] = None,
         actions: T.Optional[T.List[str]] = None,
         frame_loader: T.Optional[T.Callable[[str], np.ndarray]] = None,
+        prefetch: int = 2,
     ) -> T.Dict[str, int]:
         """Resumable extraction over ``<video_tree>/<action>/*.{mp4,avi,mkv}``
-        (ref ``extract_mesh.py:150-241``)."""
+        (ref ``extract_mesh.py:150-241``).
+
+        Decode runs ``prefetch`` videos ahead on host threads (the native
+        libav decoder when built, OpenCV otherwise) so the device never waits
+        on demux+decode — the reference decodes synchronously per video
+        (ref ``extract_mesh.py:200-209``). Set ``prefetch=0`` to disable.
+        """
+        import concurrent.futures
+
         from ..utils.io import load_all_frames
 
         loader = frame_loader or load_all_frames
@@ -296,19 +305,42 @@ class Extractor:
 
         counts = {"single": 0, "not_single": 0, "errors": 0, "skipped": 0}
         exts = (".mp4", ".avi", ".mkv", ".npy")
+        pool = (
+            concurrent.futures.ThreadPoolExecutor(max_workers=max(prefetch, 1))
+            if prefetch > 0
+            else None
+        )
         for action in all_actions:
             action_dir = os.path.join(video_tree, action)
             ledger = ResumableLedger(log_dir, action)
             processed = ledger.processed()
-            for video in sorted(
+            videos = sorted(
                 f for f in os.listdir(action_dir) if f.lower().endswith(exts)
-            ):
+            )
+            pending = []
+            for video in videos:
                 if video in processed:
                     counts["skipped"] += 1
-                    continue
+                else:
+                    pending.append(video)
+            futures: T.Dict[str, T.Any] = {}
+            if pool is not None:
+                for video in pending[:prefetch]:
+                    futures[video] = pool.submit(
+                        loader, os.path.join(action_dir, video)
+                    )
+            for i, video in enumerate(pending):
                 stem = os.path.splitext(video)[0]
                 try:
-                    frames = loader(os.path.join(action_dir, video))
+                    if pool is not None:
+                        for nxt in pending[i + 1 : i + 1 + prefetch]:
+                            if nxt not in futures:
+                                futures[nxt] = pool.submit(
+                                    loader, os.path.join(action_dir, nxt)
+                                )
+                        frames = futures.pop(video).result()
+                    else:
+                        frames = loader(os.path.join(action_dir, video))
                     mesh = self.process_video(frames)
                     if mesh is not None:
                         save_video_npz(
@@ -342,6 +374,8 @@ class Extractor:
                 except Exception as e:  # per-video fault isolation (ref :232-236)
                     ledger.record(video, "errors", str(e))
                     counts["errors"] += 1
+        if pool is not None:
+            pool.shutdown(wait=True)
         return counts
 
 

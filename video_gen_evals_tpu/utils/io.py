@@ -54,6 +54,14 @@ def load_all_frames(video_path: str, bgr2rgb: bool = True) -> np.ndarray:
                 f"Frame stack {video_path} must be [T, H, W, 3], got {frames.shape}"
             )
         return frames.astype(np.uint8)
+    # native libav decoder first (make -C native), OpenCV as fallback
+    from .native_video import decode_video, native_available
+
+    if native_available():
+        try:
+            return decode_video(video_path)
+        except IOError:
+            pass  # fall through to OpenCV (e.g. exotic container)
     try:
         import cv2  # type: ignore
     except ImportError as e:  # pragma: no cover
