@@ -82,7 +82,10 @@ def main() -> None:
     from video_gen_evals_tpu.utils.io import load_all_frames
     from video_gen_evals_tpu.utils.native_video import native_available
 
-    ex_cfg = ExtractorConfig(vit=ViTConfig(depth=args.vit_depth))
+    # keep_all_frames: random (unconverted) detector weights would otherwise
+    # reject every synthetic video before the mesh/pose/encoder stages run —
+    # the benchmark must measure the full compute path
+    ex_cfg = ExtractorConfig(vit=ViTConfig(depth=args.vit_depth), keep_all_frames=True)
     extractor = Extractor(ex_cfg)
     if args.bf16:
         extractor.params = jax.tree_util.tree_map(

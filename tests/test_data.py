@@ -7,6 +7,8 @@ concat), including edge cases: window start 0, tail padding, keypoint arrays
 shorter than mesh arrays, and short videos.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -253,3 +255,24 @@ def test_feature_bank_save_load_roundtrip(pipeline, tmp_path):
     assert loaded.one_pass_raw == bank.one_pass_raw
     assert loaded.classes == bank.classes
     assert loaded.names == bank.names
+
+
+def test_bank_cache_roundtrip_and_stale_rebuild(pipeline, tmp_path):
+    from video_gen_evals_tpu.data import build_feature_bank_cached
+
+    manifest, paths, stats, bank = pipeline
+    cache = str(tmp_path / "bank.npz")
+    b1 = build_feature_bank_cached(manifest.items, paths, stats, cache_path=cache)
+    assert os.path.exists(cache)
+    np.testing.assert_array_equal(b1.bank, bank.bank)
+    # second call loads from cache (names match) and is identical
+    b2 = build_feature_bank_cached(manifest.items, paths, stats, cache_path=cache)
+    np.testing.assert_array_equal(b2.bank, bank.bank)
+    assert b2.names == bank.names and b2.classes == bank.classes
+    assert b2.one_pass_raw == bank.one_pass_raw
+    # a different item set invalidates the cache and rebuilds + overwrites
+    sub = manifest.items[:3]
+    b3 = build_feature_bank_cached(sub, paths, stats, cache_path=cache)
+    assert b3.names == [it.name for it in sub]
+    b4 = build_feature_bank_cached(sub, paths, stats, cache_path=cache)
+    np.testing.assert_array_equal(b4.bank, b3.bank)

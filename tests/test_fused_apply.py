@@ -24,7 +24,8 @@ from video_gen_evals_tpu.models.fusion_encoder import init_encoder
         ),
     ],
 )
-def test_fused_matches_module(rng, dims_raw, dims_diff):
+@pytest.mark.parametrize("conv_impl", ["vmap_conv", "tap_matmul"])
+def test_fused_matches_module(rng, dims_raw, dims_diff, conv_impl):
     cfg = EncoderConfig.create(
         dims_raw, dims_diff, d_model=32, time_layers=2, time_heads=4
     )
@@ -32,7 +33,7 @@ def test_fused_matches_module(rng, dims_raw, dims_diff):
     x = jnp.asarray(rng.normal(size=(3, 8, cfg.input_dim)).astype(np.float32))
 
     ref = model.apply({"params": params}, x, deterministic=True)
-    out = fused_forward(cfg, params, x)
+    out = fused_forward(cfg, params, x, conv_impl=conv_impl)
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 

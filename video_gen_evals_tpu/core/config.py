@@ -105,6 +105,9 @@ class TrainConfig:
         default_factory=lambda: list(ACTION_CLASSES)
     )
     num_dp_devices: T.Optional[int] = None  # None -> all local devices
+    # optional directory for cached feature banks (skip the normalize/delta
+    # pass when the video set is unchanged) — see build_feature_bank_cached
+    bank_cache_dir: T.Optional[str] = None
     save_dir: str = "SAVE"
     name: str = "HumanActionScorer"
     # debug mode: raise on the first NaN instead of silently skipping the

@@ -16,6 +16,9 @@ from .features import (
     FeatureBank,
     compute_video_features,
     build_feature_bank,
+    build_feature_bank_cached,
+    load_feature_bank,
+    save_feature_bank,
     gather_windows,
     gather_windows_sliced,
 )
@@ -36,6 +39,9 @@ __all__ = [
     "FeatureBank",
     "compute_video_features",
     "build_feature_bank",
+    "build_feature_bank_cached",
+    "load_feature_bank",
+    "save_feature_bank",
     "gather_windows",
     "gather_windows_sliced",
     "PKBatchSampler",

@@ -418,3 +418,35 @@ def load_feature_bank(path: str) -> FeatureBank:
         classes=[str(c) for c in z["classes"]],
         names=[str(n) for n in z["names"]],
     )
+
+
+def build_feature_bank_cached(
+    items: T.Sequence,
+    paths: ModalityPaths,
+    stats: "ModalityStats",
+    modalities: T.Optional[T.Sequence[str]] = None,
+    min_rows: int = 40,
+    cache_path: T.Optional[str] = None,
+) -> FeatureBank:
+    """``build_feature_bank`` with an on-disk cache.
+
+    When ``cache_path`` exists and its video names match ``items`` (same
+    order), the bank loads through the native npz reader and the whole
+    normalize/delta pass is skipped — the serve-path analogue of the
+    reference's ``window_features.pt`` reuse (ref ``eval.py:202-205``), but
+    stride/clip-agnostic. A stale or mismatched cache is rebuilt and
+    overwritten.
+    """
+    names = [getattr(it, "name") for it in items]
+    if cache_path and os.path.exists(cache_path):
+        try:
+            bank = load_feature_bank(cache_path)
+            if bank.names == names:
+                return bank
+        except Exception:
+            pass  # unreadable/stale cache: rebuild below
+    bank = build_feature_bank(items, paths, stats, modalities, min_rows=min_rows)
+    if cache_path:
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        save_feature_bank(bank, cache_path)
+    return bank

@@ -48,6 +48,26 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     )
 
 
+def _conv_taps(y: jnp.ndarray, w: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """Stacked-chain dilated conv as K shifted batched matmuls.
+
+    ``y``: [S, B, T, C] chain activations, ``w``: [S, K, Cin, Cout].
+    Each tap is one einsum ``sbtf,sfg->sbtg`` — a size-S batched GEMM with
+    M = B*T rows, which the MXU tiles directly (XLA's conv lowering of the
+    same op runs S separate small convolutions).
+    """
+    S, B, T, C = y.shape
+    K = w.shape[1]
+    pad = dilation * (K - 1) // 2
+    ypad = jnp.pad(y, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    out = None
+    for j in range(K):
+        sl = jax.lax.dynamic_slice_in_dim(ypad, j * dilation, T, axis=2)
+        t = jnp.einsum("sbtf,sfg->sbtg", sl, w[:, j])
+        out = t if out is None else out + t
+    return out
+
+
 def _group_norm_1(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """torch GroupNorm(1, C) over [.., B, T, C]: stats over (T, C) per sample.
     Operates on stacked [S, B, T, C] with per-S scale/bias [S, C]."""
@@ -58,9 +78,13 @@ def _group_norm_1(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.
 
 
 def fused_forward(
-    cfg: EncoderConfig, params, x: jnp.ndarray
+    cfg: EncoderConfig, params, x: jnp.ndarray, conv_impl: str = "vmap_conv"
 ) -> T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Deterministic forward identical to ``HumanActionScorer.__call__``."""
+    """Deterministic forward identical to ``HumanActionScorer.__call__``.
+
+    ``conv_impl``: "vmap_conv" (vmapped ``conv_general_dilated``) or
+    "tap_matmul" (K shifted batched GEMMs per conv — see ``_conv_taps``).
+    """
     B, Tlen, D = x.shape
     if D != cfg.input_dim:
         raise ValueError(f"expected input dim {cfg.input_dim}, got {D}")
@@ -104,9 +128,15 @@ def fused_forward(
         gs = jnp.stack([p[f"block{i}"]["norm"]["scale"] for p in chain_params])
         gb = jnp.stack([p[f"block{i}"]["norm"]["bias"] for p in chain_params])
         res = y
-        h = jax.vmap(lambda xx, ww: _conv(xx, ww, dil))(y, w1)
+        if conv_impl == "tap_matmul":
+            h = _conv_taps(y, w1, dil)
+        else:
+            h = jax.vmap(lambda xx, ww: _conv(xx, ww, dil))(y, w1)
         h = jax.nn.gelu(h, approximate=False)
-        h = jax.vmap(lambda xx, ww: _conv(xx, ww, dil))(h, w2)
+        if conv_impl == "tap_matmul":
+            h = _conv_taps(h, w2, dil)
+        else:
+            h = jax.vmap(lambda xx, ww: _conv(xx, ww, dil))(h, w2)
         h = jax.nn.gelu(h + res, approximate=False)
         y = _group_norm_1(h, gs, gb)
 

@@ -68,6 +68,12 @@ class ExtractorConfig:
     min_single_ratio: float = 0.8
     crop_scale: float = 1.2
     kp_bug_compat: bool = True   # drop invalid kp frames like the reference
+    # Benchmark/debug mode: treat every frame as single-person (detection
+    # still runs, but the >=80%-single rejection is bypassed). Needed to
+    # exercise the full mesh/pose path with random (unconverted) detector
+    # weights, e.g. benchmarks/bench_full.py; production extraction keeps
+    # the reference's filtering semantics.
+    keep_all_frames: bool = False
 
 
 class Extractor:
@@ -229,7 +235,9 @@ class Extractor:
             lambda f: self._detect(self.params["det"], f, wh), frames_f32
         )
         single = np.asarray(single)
-        if single.sum() == 0 or single.mean() < self.cfg.min_single_ratio:
+        if self.cfg.keep_all_frames:
+            single = np.ones_like(single, dtype=bool)
+        elif single.sum() == 0 or single.mean() < self.cfg.min_single_ratio:
             return None
 
         out = self._batched(
@@ -266,7 +274,11 @@ class Extractor:
         )
 
         kp120, valid = self._kp_post(jnp.asarray(kps134), jnp.asarray(sc134), wh)
-        valid = np.asarray(valid) & np.asarray(single)
+        valid = np.asarray(valid)
+        if self.cfg.keep_all_frames:
+            valid = np.ones_like(valid, dtype=bool)
+        else:
+            valid = valid & np.asarray(single)
         return {"kp120": np.asarray(kp120), "valid": valid}
 
     # ------------------------------------------------------------------

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import typing as T
 
 import jax
@@ -31,6 +32,7 @@ from ..data import (
     ModalityStats,
     VideoManifest,
     build_feature_bank,
+    build_feature_bank_cached,
     compute_stats,
     enumerate_windows,
     gather_windows,
@@ -227,12 +229,14 @@ def build_real_centroids(
     paths: ModalityPaths,
     stats: ModalityStats,
     cfg: ScoreConfig,
+    bank_cache: T.Optional[str] = None,
 ) -> T.Tuple[np.ndarray, T.Dict[str, int]]:
     """Class centroids from the real-video train split (ref ``eval.py:260-286``)."""
     train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
     label_dict = real_manifest.label_dict()
-    bank = build_feature_bank(
-        train_ds.items, paths, stats, min_rows=cfg.clip_len + 8
+    bank = build_feature_bank_cached(
+        train_ds.items, paths, stats, min_rows=cfg.clip_len + 8,
+        cache_path=bank_cache,
     )
     windows = enumerate_windows(train_ds, cfg.clip_len, cfg.stride)
     seqs, _tc, win_video = encoder.encode_bank(bank, windows)
@@ -313,6 +317,7 @@ def score_generated(
     output_json: T.Optional[str] = "video_scores.json",
     stats: T.Optional[ModalityStats] = None,
     dump_features: T.Optional[str] = None,
+    bank_cache_dir: T.Optional[str] = None,
 ) -> T.Dict[str, T.Any]:
     """Full ref ``eval.py`` flow: stats from real train split, centroids, score
     every generated video, optional Spearman vs human MOS.
@@ -330,13 +335,18 @@ def score_generated(
     encoder = WindowEncoder(
         model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
     )
+    cache = lambda name: (
+        os.path.join(bank_cache_dir, name) if bank_cache_dir else None
+    )
     centroids, label_dict = build_real_centroids(
-        encoder, real_manifest, real_paths, stats, cfg
+        encoder, real_manifest, real_paths, stats, cfg,
+        bank_cache=cache("real_train_bank.npz"),
     )
 
     gen_manifest = scan_generated_flat(generated_dir)
-    gen_bank = build_feature_bank(
-        gen_manifest.items, gen_paths, stats, min_rows=cfg.clip_len + 8
+    gen_bank = build_feature_bank_cached(
+        gen_manifest.items, gen_paths, stats, min_rows=cfg.clip_len + 8,
+        cache_path=cache("generated_bank.npz"),
     )
     combined = score_bank(encoder, gen_bank, gen_manifest, centroids, label_dict, cfg)
 
@@ -384,6 +394,9 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--output", default="video_scores.json")
     p.add_argument("--dump-features", default=None,
                    help="optional .npz window-feature cache (ref window_features.pt)")
+    p.add_argument("--bank-cache", default=None,
+                   help="directory for cached feature banks (skips the "
+                        "normalize/delta pass when the video set is unchanged)")
     p.add_argument("--bug-compat", dest="bug_compat", action="store_true", default=True,
                    help="reproduce the reference's accidental behaviors "
                         "(layout auto-detection, permissive ckpt loading) — "
@@ -435,6 +448,7 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         output_json=args.output,
         stats=stats,
         dump_features=args.dump_features,
+        bank_cache_dir=args.bank_cache,
     )
     n = len(result["scores"])
     print(f"Saved AC/TC scores for {n} videos to {args.output}")

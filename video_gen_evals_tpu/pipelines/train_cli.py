@@ -23,6 +23,9 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--stride", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--save-dir", default=None)
+    p.add_argument("--bank-cache", default=None,
+                   help="directory for cached train/test feature banks "
+                        "(skips the normalize/delta pass on unchanged data)")
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel devices: shard PK batches over a "
                         "dp-way mesh (default: single device; also settable "
@@ -48,6 +51,8 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         v = getattr(args, field)
         if v is not None:
             setattr(cfg, field, v)
+    if args.bank_cache:
+        cfg.bank_cache_dir = args.bank_cache
 
     mesh = None
     n_dp = args.dp if args.dp is not None else cfg.num_dp_devices

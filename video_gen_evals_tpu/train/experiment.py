@@ -30,6 +30,7 @@ from ..data import (
     ModalityPaths,
     PKBatchSampler,
     build_feature_bank,
+    build_feature_bank_cached,
     compute_stats,
     enumerate_windows,
     gather_windows,
@@ -93,11 +94,16 @@ class Experiment:
 
         mods = [m for m in cfg.detect_modalities() if m in self.stats.modalities]
         min_rows = cfg.clip_len + 8
-        self.train_bank = build_feature_bank(
-            self.train_ds.items, self.real_paths, self.stats, mods, min_rows=min_rows
+        cache = lambda name: (
+            os.path.join(cfg.bank_cache_dir, name) if cfg.bank_cache_dir else None
         )
-        self.test_bank = build_feature_bank(
-            self.test_ds.items, self.real_paths, self.stats, mods, min_rows=min_rows
+        self.train_bank = build_feature_bank_cached(
+            self.train_ds.items, self.real_paths, self.stats, mods,
+            min_rows=min_rows, cache_path=cache("train_bank.npz"),
+        )
+        self.test_bank = build_feature_bank_cached(
+            self.test_ds.items, self.real_paths, self.stats, mods,
+            min_rows=min_rows, cache_path=cache("test_bank.npz"),
         )
         self.train_windows = enumerate_windows(self.train_ds, cfg.clip_len, cfg.stride)
         self.test_windows = enumerate_windows(self.test_ds, cfg.clip_len, cfg.stride)
