@@ -109,6 +109,31 @@ def main() -> None:
     starts_all = np.array(starts_all, np.int32)
     n_windows = len(vids_all)
 
+    # encoder forward: fused Pallas conv-stage kernel on TPU at "high"
+    # (1.2x the module forward, bf16_3x-equivalent — BENCH_NOTES round-2);
+    # BENCH_ENCODER=module forces the flax forward
+    precision = os.environ.get("BENCH_PRECISION", "high")
+    default_encoder = (
+        "kernel"
+        if jax.default_backend() == "tpu" and precision == "high" and batch % 32 == 0
+        else "module"
+    )
+    encoder_impl = os.environ.get("BENCH_ENCODER", default_encoder)
+    if encoder_impl == "kernel":
+        from video_gen_evals_tpu.models.fused_apply import block_kernel_forward
+
+        def forward(params, w):
+            seq, frames_emb, _ = block_kernel_forward(
+                cfg, params, w, block_windows=32, precision="high"
+            )
+            return seq, frames_emb
+    else:
+        def forward(params, w):
+            seq, frames_emb, _ = model.apply(
+                {"params": params}, w, deterministic=True
+            )
+            return seq, frames_emb
+
     # the whole sweep is ONE jitted program: lax.map over device-resident
     # window-index batches -> encoder -> per-window TC/embeds -> per-video
     # segment reductions (AC vs centroids). No host round-trips mid-sweep.
@@ -125,15 +150,13 @@ def main() -> None:
 
     @jax.jit
     def score_suite(params, centroids, video_label):
-        with jax.default_matmul_precision(os.environ.get("BENCH_PRECISION", "high")):
+        with jax.default_matmul_precision(precision):
             def one_batch(idx):
                 vi, st = idx
                 w = gather_windows(
                     bank, offsets, row_limit, z0, one_pass_raw, vi, st, CLIP_LEN
                 )
-                seq, frames_emb, _ = model.apply(
-                    {"params": params}, w, deterministic=True
-                )
+                seq, frames_emb = forward(params, w)
                 return seq, tc_per_window(frames_emb)
 
             seqs, tcs = jax.lax.map(one_batch, (vi_batches, st_batches))

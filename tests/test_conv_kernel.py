@@ -1,0 +1,70 @@
+"""Fused TemporalConvBlock Pallas kernel (ops/conv_kernel.py) equivalence.
+
+The kernel fuses conv1 -> GELU -> conv2 -> +residual -> GELU -> GroupNorm(1)
+(ref ``model.py:21-40``) into one VMEM-resident pass; these tests pin it
+against the flax module at every dilation the encoder uses, plus the full
+``block_kernel_forward`` against ``HumanActionScorer.apply`` on the same
+param tree. Interpret mode on the CPU backend (the TPU path shares the same
+kernel body; on-chip agreement is measured in BENCH_NOTES).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_gen_evals_tpu.models import EncoderConfig
+from video_gen_evals_tpu.models.fused_apply import block_kernel_forward
+from video_gen_evals_tpu.models.fusion_encoder import TemporalConvBlock, init_encoder
+from video_gen_evals_tpu.ops.conv_kernel import fused_temporal_block
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4, 8])
+@pytest.mark.parametrize("precision,atol", [("highest", 2e-5), ("high", 1e-4)])
+def test_fused_block_matches_module(rng, dilation, precision, atol):
+    B, T, C = 8, 32, 256
+    blk = TemporalConvBlock(C, dilation=dilation, dropout=0.0)
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    params = blk.init(jax.random.key(dilation), x, deterministic=True)["params"]
+    ref = blk.apply({"params": params}, x, deterministic=True)
+    out = fused_temporal_block(
+        x,
+        params["conv1"]["kernel"],
+        params["conv2"]["kernel"],
+        params["norm"]["scale"],
+        params["norm"]["bias"],
+        dilation=dilation,
+        block_windows=4,
+        precision=precision,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+def test_fused_block_rejects_bad_batch(rng):
+    x = jnp.zeros((6, 32, 256), jnp.float32)
+    w = jnp.zeros((5, 256, 256), jnp.float32)
+    g = jnp.zeros((256,), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        fused_temporal_block(x, w, w, g, g, dilation=1, block_windows=4)
+
+
+def test_block_kernel_forward_matches_module(rng):
+    dims_raw = {"vit": 16, "global": 9, "pose": 18, "beta": 10, "kp2d": 12}
+    dims_diff = {"vit": 16, "global": 3, "pose": 6, "beta": 10, "kp2d": 12}
+    cfg = EncoderConfig.create(
+        dims_raw, dims_diff, d_model=256, time_layers=2, time_heads=4
+    )
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=32)
+    x = jnp.asarray(rng.normal(size=(8, 32, cfg.input_dim)).astype(np.float32))
+    ref = model.apply({"params": params}, x, deterministic=True)
+    out = block_kernel_forward(
+        cfg, params, x, block_windows=4, precision="highest", interpret=True
+    )
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    out_hi = block_kernel_forward(
+        cfg, params, x, block_windows=4, precision="high", interpret=True
+    )
+    for a, b in zip(out_hi, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

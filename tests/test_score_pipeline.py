@@ -146,3 +146,41 @@ def test_window_encoder_mesh_matches_single_device(env):
 
     with pytest.raises(ValueError, match="divide evenly"):
         WindowEncoder(model, params, 12, 16, mesh=make_mesh(n_data=8, n_model=1))
+
+
+def test_window_encoder_block_kernel_matches_module(env):
+    """encoder_impl="block_kernel" (fused Pallas conv stages, interpret mode
+    on CPU) returns the same embeddings/TC as the module forward."""
+    from video_gen_evals_tpu.data import (
+        build_feature_bank,
+        compute_stats,
+        enumerate_windows,
+        scan_class_tree,
+        train_test_split,
+    )
+    from video_gen_evals_tpu.pipelines.score import WindowEncoder
+
+    root, mesh_root, kp_root, *_ = env
+    manifest = scan_class_tree(mesh_root)
+    train_ds, _ = train_test_split(manifest, 0.8, seed=1337)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    stats = compute_stats(train_ds.items, paths)
+    bank = build_feature_bank(train_ds.items, paths, stats, min_rows=24)
+    windows = enumerate_windows(train_ds, 16, 8)
+
+    cfg = EncoderConfig.create(
+        stats.dims_map_raw(), stats.dims_map_diff(),
+        d_model=256, time_layers=1, time_heads=4,
+    )
+    model, params = init_encoder(cfg, jax.random.key(2), clip_len=16)
+
+    enc_m = WindowEncoder(model, params, 16, 16, encoder_impl="module")
+    sm, tm, vm = enc_m.encode_bank(bank, windows)
+    enc_k = WindowEncoder(model, params, 16, 16, encoder_impl="block_kernel")
+    assert enc_k._use_block_kernel
+    sk, tk, vk = enc_k.encode_bank(bank, windows)
+
+    np.testing.assert_array_equal(vm, vk)
+    # CPU interpret runs the kernel's bf16_3x decomposition vs the f32 module
+    np.testing.assert_allclose(sm, sk, atol=5e-4)
+    np.testing.assert_allclose(tm, tk, atol=5e-4)

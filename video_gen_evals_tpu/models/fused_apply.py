@@ -185,6 +185,100 @@ def fused_forward(
     return l2_normalize(cls_out, axis=-1), l2_normalize(tokens, axis=-1), tokens
 
 
+def block_kernel_forward(
+    cfg: EncoderConfig,
+    params,
+    x: jnp.ndarray,
+    block_windows: int = 32,
+    precision: str = "high",
+    interpret: bool = False,
+) -> T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Deterministic forward with the residual conv stages running in the
+    fused Pallas kernel (``ops/conv_kernel.py``) and everything else on the
+    module math. Consumes the SAME param tree as ``HumanActionScorer``;
+    per-chain layout is kept (the stacked-chain variants measured slower,
+    see BENCH_NOTES round-2 shootout).
+
+    ``precision``: "high" (in-kernel bf16_3x — matches the scoring default)
+    or "highest" (full-f32 dots).
+    """
+    from ..ops.conv_kernel import fused_temporal_block
+    B, Tlen, D = x.shape
+    if D != cfg.input_dim:
+        raise ValueError(f"expected input dim {cfg.input_dim}, got {D}")
+    d_model = cfg.d_model
+    diff_dims = dict(cfg.dims_map_diff)
+
+    raw = x[:, :, : cfg.one_pass_raw]
+    diff = (
+        x[:, :, cfg.one_pass_raw : cfg.one_pass_raw + cfg.one_pass_diff]
+        if cfg.has_diff
+        else None
+    )
+
+    def chain(p, xin):
+        y = _conv(xin, p["stem"]["kernel"])
+        for i, dil in enumerate(_DILATIONS):
+            bp = p[f"block{i}"]
+            y = fused_temporal_block(
+                y,
+                bp["conv1"]["kernel"],
+                bp["conv2"]["kernel"],
+                bp["norm"]["scale"],
+                bp["norm"]["bias"],
+                dilation=dil,
+                block_windows=block_windows,
+                precision=precision,
+                interpret=interpret,
+            )
+        return y @ p["proj"]["kernel"]
+
+    per_mod = []
+    r_off = d_off = 0
+    for m, rd in cfg.dims_map_raw:
+        s = chain(params[f"state_enc_{m}"], raw[:, :, r_off : r_off + rd])
+        r_off += rd
+        dd = diff_dims[m]
+        if cfg.has_diff and dd > 0:
+            s = s + chain(
+                params[f"motion_enc_{m}"], diff[:, :, d_off : d_off + dd]
+            )
+        d_off += dd
+        mu = jnp.mean(s, axis=-1, keepdims=True)
+        var = jnp.var(s, axis=-1, keepdims=True)
+        per_mod.append(((s - mu) / jnp.sqrt(var + 1e-5))[:, :, None, :])
+
+    m_tokens = jnp.concatenate(per_mod, axis=2)          # [B, T, M, dm]
+
+    f = params["fusion"]
+    kv = _layer_norm(m_tokens, f["kv_ln"]["scale"], f["kv_ln"]["bias"])
+    q = _layer_norm(
+        jnp.broadcast_to(f["latent"], (B, Tlen, 1, d_model)),
+        f["q_ln"]["scale"],
+        f["q_ln"]["bias"],
+    )
+    Q = q @ f["Wq"]["kernel"]
+    K = kv @ f["Wk"]["kernel"]
+    V = kv @ f["Wv"]["kernel"]
+    logits = jnp.einsum("btqd,btmd->btqm", Q, K) / math.sqrt(d_model)
+    tau = jax.nn.softplus(f["logit_temp"]) + 1e-3
+    logits = logits / tau[None, None, None, :] + f["logit_bias"][None, None, None, :]
+    A = jax.nn.softmax(logits, axis=-1)
+    frame_tok = (jnp.einsum("btqm,btmd->btqd", A, V)[:, :, 0, :]) @ f["Wo"]["kernel"]
+
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(params["cls"], (B, 1, d_model)), frame_tok], axis=1
+    )
+    tokens = tokens + sinusoidal_positional_embedding(Tlen + 1, d_model)[None].astype(
+        tokens.dtype
+    )
+    for i in range(cfg.time_layers):
+        tokens = _transformer_layer(params[f"temporal{i}"], tokens, cfg.time_heads)
+
+    cls_out = tokens[:, 0, :]
+    return l2_normalize(cls_out, axis=-1), l2_normalize(tokens, axis=-1), tokens
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)

@@ -1,0 +1,192 @@
+"""Fused TemporalConvBlock Pallas kernel — the conv section is ~85% of the
+scoring encoder's time (benchmarks/BENCH_NOTES.md round-2 profiling).
+
+One kernel computes a whole residual dilated-conv stage (ref ``model.py:21-40``:
+conv1 -> GELU -> conv2 -> +residual -> GELU -> GroupNorm(1)) with the
+activations VMEM-resident between the two convolutions: XLA's lowering runs
+the two convs as separate HBM-roundtrip kernels. Each dilated k=5 conv is
+expressed as 5 shifted ``[BW*T, C] x [C, C]`` matmuls accumulating in f32 on
+the MXU — per-window zero padding lives in a VMEM scratch so window
+boundaries never mix.
+
+Precision modes (Mosaic exposes no HIGH dot precision and no erf):
+- ``"high"``: manual bf16_3x — weights pre-split into (hi, lo) bf16 halves,
+  activations split in-kernel, dot3 = ahi*whi + ahi*wlo + alo*whi with f32
+  accumulation: the same three MXU passes XLA's ``high`` performs.
+- ``"highest"``: full-f32 dots (``jax.lax.Precision.HIGHEST``).
+GELU's erf uses the Abramowitz-Stegun 7.1.26 rational approximation
+(max abs error 1.5e-7 — below the bf16_3x noise floor).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as T
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_K = 5  # kernel taps (ref model.py:24: kernel_size=5)
+
+
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7)."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+
+
+def split_bf16(w: jnp.ndarray) -> T.Tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 halves with hi + lo ~= w to bf16_3x accuracy."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a: jnp.ndarray, w_hi: jnp.ndarray, w_lo: jnp.ndarray) -> jnp.ndarray:
+    """bf16_3x matmul: the three-pass decomposition XLA uses for ``high``."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    # precision pinned to DEFAULT: bf16 inputs are already exact on the MXU,
+    # and an ambient default_matmul_precision("high") context would otherwise
+    # leak HIGH into the kernel, which Mosaic rejects
+    d = lambda u, v: jax.lax.dot_general(
+        u, v, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return d(a_hi, w_hi) + d(a_hi, w_lo) + d(a_lo, w_hi)
+
+
+def _dot_f32(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dot_general(
+        a,
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _block_kernel_high(
+    x_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, gs_ref, gb_ref, out_ref, xp,
+    *, dilation: int, t_len: int,
+):
+    BW, _, C = x_ref.shape
+    pad = dilation * (_K - 1) // 2
+    x = x_ref[...]
+
+    def conv5(src, wh_ref, wl_ref):
+        xp[:, :pad, :] = jnp.zeros((BW, pad, C), src.dtype)
+        xp[:, pad : pad + t_len, :] = src
+        xp[:, pad + t_len :, :] = jnp.zeros((BW, pad, C), src.dtype)
+        acc = None
+        for j in range(_K):
+            sl = xp[:, j * dilation : j * dilation + t_len, :]
+            t = _dot3(sl.reshape(BW * t_len, C), wh_ref[j], wl_ref[j])
+            acc = t if acc is None else acc + t
+        return acc.reshape(BW, t_len, C)
+
+    h = _gelu(conv5(x, w1h_ref, w1l_ref))
+    h = _gelu(conv5(h, w2h_ref, w2l_ref) + x)
+    mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
+    var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
+    hn = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+    out_ref[...] = hn * gs_ref[0][None, None, :] + gb_ref[0][None, None, :]
+
+
+def _block_kernel_f32(
+    x_ref, w1_ref, w2_ref, gs_ref, gb_ref, out_ref, xp,
+    *, dilation: int, t_len: int,
+):
+    BW, _, C = x_ref.shape
+    pad = dilation * (_K - 1) // 2
+    x = x_ref[...]
+
+    def conv5(src, w_ref):
+        xp[:, :pad, :] = jnp.zeros((BW, pad, C), src.dtype)
+        xp[:, pad : pad + t_len, :] = src
+        xp[:, pad + t_len :, :] = jnp.zeros((BW, pad, C), src.dtype)
+        acc = None
+        for j in range(_K):
+            sl = xp[:, j * dilation : j * dilation + t_len, :]
+            t = _dot_f32(sl.reshape(BW * t_len, C), w_ref[j])
+            acc = t if acc is None else acc + t
+        return acc.reshape(BW, t_len, C)
+
+    h = _gelu(conv5(x, w1_ref))
+    h = _gelu(conv5(h, w2_ref) + x)
+    mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
+    var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
+    hn = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+    out_ref[...] = hn * gs_ref[0][None, None, :] + gb_ref[0][None, None, :]
+
+
+def fused_temporal_block(
+    x: jnp.ndarray,         # [B, T, C] f32 chain activations
+    w1: jnp.ndarray,        # [K, C, C] f32
+    w2: jnp.ndarray,        # [K, C, C] f32
+    gn_scale: jnp.ndarray,  # [C]
+    gn_bias: jnp.ndarray,   # [C]
+    dilation: int,
+    block_windows: int = 32,
+    precision: str = "high",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused residual dilated-conv stage over a window batch.
+
+    ``precision``: "high" (bf16_3x, matches XLA's default scoring precision)
+    or "highest" (full f32).
+    """
+    B, t_len, C = x.shape
+    if B % block_windows != 0:
+        raise ValueError(f"batch {B} not divisible by block {block_windows}")
+    pad = dilation * (_K - 1) // 2
+
+    act_spec = pl.BlockSpec(
+        (block_windows, t_len, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec((_K, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((block_windows, t_len + 2 * pad, C), x.dtype)]
+    gs = gn_scale.reshape(1, C)
+    gb = gn_bias.reshape(1, C)
+
+    if precision == "high":
+        w1h, w1l = split_bf16(w1)
+        w2h, w2l = split_bf16(w2)
+        kernel = functools.partial(
+            _block_kernel_high, dilation=dilation, t_len=t_len
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B // block_windows,),
+            in_specs=[act_spec, w_spec, w_spec, w_spec, w_spec, g_spec, g_spec],
+            out_specs=act_spec,
+            out_shape=jax.ShapeDtypeStruct((B, t_len, C), x.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(x, w1h, w1l, w2h, w2l, gs, gb)
+
+    kernel = functools.partial(_block_kernel_f32, dilation=dilation, t_len=t_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block_windows,),
+        in_specs=[act_spec, w_spec, w_spec, g_spec, g_spec],
+        out_specs=act_spec,
+        out_shape=jax.ShapeDtypeStruct((B, t_len, C), x.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x, w1, w2, gs, gb)

@@ -76,12 +76,24 @@ class WindowEncoder:
         matmul_precision: str = "high",
         gather_impl: str = "auto",
         mesh=None,
+        encoder_impl: str = "auto",
     ):
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.clip_len = clip_len
         self.mesh = mesh
+        # "auto": on single-chip TPU at "high" precision, run the residual
+        # conv stages (85% of encoder time) in the fused Pallas kernel —
+        # measured 1.2x the module forward at bf16_3x-level agreement
+        # (BENCH_NOTES round-2). "module" forces the flax forward.
+        self._use_block_kernel = (
+            encoder_impl in ("auto", "block_kernel")
+            and mesh is None
+            and jax.default_backend() == "tpu"
+            and matmul_precision == "high"
+            and batch_size % 32 == 0
+        ) or (encoder_impl == "block_kernel" and jax.default_backend() != "tpu")
         # "auto": burst Pallas DMA gather on single-chip TPU when the batch
         # and starts satisfy its alignment contract (checked per sweep in
         # encode_bank), falling back to the pure-XLA sliced gather. Sharded
@@ -117,14 +129,34 @@ class WindowEncoder:
             "take": gather_windows,           # exact for arbitrary starts
         }[gather_impl]
 
+        if self._use_block_kernel:
+            from ..models.fused_apply import block_kernel_forward
+
+            bw = 32 if batch_size % 32 == 0 else (
+                8 if batch_size % 8 == 0 else 4
+            )
+            interp = jax.default_backend() != "tpu"
+
+            def _forward(params, w):
+                seq, frames, _ = block_kernel_forward(
+                    self.model.config, params, w,
+                    block_windows=bw, precision="high", interpret=interp,
+                )
+                return seq, frames
+        else:
+
+            def _forward(params, w):
+                seq, frames, _ = model.apply(
+                    {"params": params}, w, deterministic=True
+                )
+                return seq, frames
+
         def _encode(params, bank, offsets, row_limit, z0, video_idx, starts, one_pass_raw):
             with jax.default_matmul_precision(matmul_precision):
                 w = gather(
                     bank, offsets, row_limit, z0, one_pass_raw, video_idx, starts, clip_len
                 )
-                seq, frames, _ = model.apply(
-                    {"params": params}, w, deterministic=True
-                )
+                seq, frames = _forward(params, w)
                 return seq, tc_per_window(frames)
 
         self._encode = jax.jit(_encode, static_argnames=("one_pass_raw",))
@@ -141,9 +173,7 @@ class WindowEncoder:
                         bank_pad, offsets, row_limit, z0, one_pass_raw,
                         video_idx, starts, clip_len, out_dim=out_dim,
                     )
-                    seq, frames, _ = model.apply(
-                        {"params": params}, w, deterministic=True
-                    )
+                    seq, frames = _forward(params, w)
                     return seq, tc_per_window(frames)
 
             self._encode_burst = jax.jit(
