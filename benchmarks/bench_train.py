@@ -28,13 +28,18 @@ DIMS_DIFF = {"vit": 1024, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
 
 
 def main() -> None:
+    from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=240)  # P=10 x K=24 (ref)
     p.add_argument("--clip-len", type=int, default=32)
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--conv-impl", default="module",
+                   choices=["module", "kernel"],
+                   help="'kernel' = fused Pallas conv stages w/ custom VJP")
     args = p.parse_args()
 
-    cfg = EncoderConfig.create(DIMS_RAW, DIMS_DIFF)
+    cfg = EncoderConfig.create(DIMS_RAW, DIMS_DIFF, conv_impl=args.conv_impl)
     model, params = init_encoder(cfg, jax.random.key(0), clip_len=args.clip_len)
     tx = make_optimizer(3e-4, 1000)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
@@ -67,6 +72,7 @@ def main() -> None:
         "value": round(1.0 / dt, 3),
         "unit": "steps/sec",
         "batch": args.batch,
+        "conv_impl": args.conv_impl,
         "window_forwards_per_sec": round(4 * args.batch / dt, 1),
         "loss_finite": bool(np.isfinite(final)),
     }))

@@ -55,6 +55,10 @@ class EncoderConfig:
     # kernel only engages on the deterministic path (attention-weight dropout
     # needs materialized weights, so training keeps the einsum path)
     attention_impl: str = "xla"
+    # "module" (XLA conv lowering) | "kernel" (fused Pallas conv stages with
+    # custom VJP — trains through ops/conv_kernel_train.py)
+    conv_impl: str = "module"
+    conv_precision: str = "default"
 
     @classmethod
     def create(
@@ -135,6 +139,62 @@ class TemporalConvBlock(nn.Module):
         return nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(y)
 
 
+class _SubParam(nn.Module):
+    """A named child scope holding bare parameters — lets the kernel-backed
+    block expose the EXACT param tree of :class:`TemporalConvBlock`
+    (``{"conv1": {"kernel"}, ...}``) so checkpoints are interchangeable."""
+
+    specs: T.Tuple[T.Tuple[str, T.Tuple[int, ...], T.Any], ...]
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(n, init, shape) for n, shape, init in self.specs)
+
+
+class TemporalConvBlockKernel(nn.Module):
+    """:class:`TemporalConvBlock` with the whole residual stage running in the
+    fused Pallas kernel (``ops/conv_kernel_train.py``): forward AND backward
+    are single fused launches, with dropout applied in-kernel from a mask
+    drawn off the flax ``dropout`` RNG stream. Param tree and init values are
+    identical to the module block (same child-scope paths), so the two are
+    checkpoint-interchangeable."""
+
+    channels: int
+    kernel_size: int = 5
+    dilation: int = 1
+    dropout: float = 0.1
+    precision: str = "default"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from ..ops.conv_kernel_train import fused_temporal_block_train
+
+        C = self.channels
+        k = self.kernel_size
+        conv_init = nn.initializers.lecun_normal()
+        (w1,) = _SubParam(((("kernel"), (k, C, C), conv_init),), name="conv1")()
+        (w2,) = _SubParam(((("kernel"), (k, C, C), conv_init),), name="conv2")()
+        gs, gb = _SubParam(
+            (
+                ("scale", (C,), nn.initializers.ones),
+                ("bias", (C,), nn.initializers.zeros),
+            ),
+            name="norm",
+        )()
+        if deterministic or self.dropout == 0.0:
+            mask = None
+        else:
+            keep = 1.0 - self.dropout
+            mask = (
+                jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+                / keep
+            ).astype(x.dtype)
+        return fused_temporal_block_train(
+            x, w1, w2, gs, gb, mask,
+            self.dilation, self.precision,
+        )
+
+
 class MovementConvEncoder(nn.Module):
     """Per-modality temporal encoder: 1x1 stem -> dilated blocks -> linear proj
     (ref ``model.py:43-58``)."""
@@ -143,18 +203,30 @@ class MovementConvEncoder(nn.Module):
     dropout: float = 0.1
     kernel_size: int = 5
     dilations: T.Tuple[int, ...] = (1, 2, 4, 8)
+    conv_impl: str = "module"       # "module" | "kernel" (fused Pallas stage)
+    conv_precision: str = "default"
 
     @nn.compact
     def __call__(self, x_btf: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = nn.Conv(self.d_out, kernel_size=(1,), use_bias=False, name="stem")(x_btf)
         for i, d in enumerate(self.dilations):
-            y = TemporalConvBlock(
-                self.d_out,
-                kernel_size=self.kernel_size,
-                dilation=d,
-                dropout=self.dropout,
-                name=f"block{i}",
-            )(y, deterministic=deterministic)
+            if self.conv_impl == "kernel":
+                y = TemporalConvBlockKernel(
+                    self.d_out,
+                    kernel_size=self.kernel_size,
+                    dilation=d,
+                    dropout=self.dropout,
+                    precision=self.conv_precision,
+                    name=f"block{i}",
+                )(y, deterministic=deterministic)
+            else:
+                y = TemporalConvBlock(
+                    self.d_out,
+                    kernel_size=self.kernel_size,
+                    dilation=d,
+                    dropout=self.dropout,
+                    name=f"block{i}",
+                )(y, deterministic=deterministic)
         return nn.Dense(self.d_out, use_bias=False, name="proj")(y)
 
 
@@ -283,13 +355,15 @@ class HumanActionScorer(nn.Module):
         diff_dims = dict(cfg.dims_map_diff)
         for m, rd in cfg.dims_map_raw:
             s = MovementConvEncoder(
-                cfg.d_model, dropout=cfg.dropout, name=f"state_enc_{m}"
+                cfg.d_model, dropout=cfg.dropout, name=f"state_enc_{m}",
+                conv_impl=cfg.conv_impl, conv_precision=cfg.conv_precision,
             )(raw[:, :, r_off : r_off + rd], deterministic=deterministic)
             r_off += rd
             dd = diff_dims[m]
             if cfg.has_diff and dd > 0:
                 u = MovementConvEncoder(
-                    cfg.d_model, dropout=cfg.dropout, name=f"motion_enc_{m}"
+                    cfg.d_model, dropout=cfg.dropout, name=f"motion_enc_{m}",
+                    conv_impl=cfg.conv_impl, conv_precision=cfg.conv_precision,
                 )(diff[:, :, d_off : d_off + dd], deterministic=deterministic)
                 s = s + u
             d_off += dd
