@@ -66,6 +66,8 @@ def build_synthetic_bank(num_videos: int, frames: int, dim: int, seed: int = 0):
 
 
 def main() -> None:
+    from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     num_videos = int(os.environ.get("BENCH_VIDEOS", "64"))
     frames = int(os.environ.get("BENCH_FRAMES", "120"))
     batch = int(os.environ.get("BENCH_BATCH", "256"))
@@ -119,12 +121,15 @@ def main() -> None:
         else "module"
     )
     encoder_impl = os.environ.get("BENCH_ENCODER", default_encoder)
-    if encoder_impl == "kernel":
+    if encoder_impl in ("kernel", "chain"):
         from video_gen_evals_tpu.models.fused_apply import block_kernel_forward
+
+        fusion = "chain" if encoder_impl == "chain" else "stage"
 
         def forward(params, w):
             seq, frames_emb, _ = block_kernel_forward(
-                cfg, params, w, block_windows=32, precision="high"
+                cfg, params, w, block_windows=32, precision="high",
+                stage_fusion=fusion,
             )
             return seq, frames_emb
     else:

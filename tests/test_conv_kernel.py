@@ -68,3 +68,26 @@ def test_block_kernel_forward_matches_module(rng):
     )
     for a, b in zip(out_hi, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_chain_kernel_matches_stage_kernels(rng):
+    """Whole-chain kernel (ops/chain_kernel.py) is bit-identical to stacking
+    fused_temporal_block per stage at precision 'high' (same dots, same order)."""
+    from video_gen_evals_tpu.ops.chain_kernel import fused_temporal_chain
+
+    B, Tl, C = 8, 16, 128
+    x = jnp.asarray(rng.normal(size=(B, Tl, C)).astype(np.float32))
+    w1s = jnp.asarray(rng.normal(size=(4, 5, C, C)).astype(np.float32)) * 0.08
+    w2s = jnp.asarray(rng.normal(size=(4, 5, C, C)).astype(np.float32)) * 0.08
+    gss = jnp.asarray(1.0 + 0.1 * rng.normal(size=(4, C)).astype(np.float32))
+    gbs = jnp.asarray(0.1 * rng.normal(size=(4, C)).astype(np.float32))
+    y_ref = x
+    for s, dil in enumerate((1, 2, 4, 8)):
+        y_ref = fused_temporal_block(
+            y_ref, w1s[s], w2s[s], gss[s], gbs[s], dilation=dil,
+            block_windows=4, precision="high", interpret=True,
+        )
+    y = fused_temporal_chain(
+        x, w1s, w2s, gss, gbs, block_windows=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))

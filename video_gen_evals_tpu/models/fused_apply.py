@@ -192,6 +192,7 @@ def block_kernel_forward(
     block_windows: int = 32,
     precision: str = "high",
     interpret: bool = False,
+    stage_fusion: str = "stage",
 ) -> T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Deterministic forward with the residual conv stages running in the
     fused Pallas kernel (``ops/conv_kernel.py``) and everything else on the
@@ -201,8 +202,15 @@ def block_kernel_forward(
 
     ``precision``: "high" (in-kernel bf16_3x — matches the scoring default)
     or "highest" (full-f32 dots).
+    ``stage_fusion``: "stage" (one kernel per residual stage) or "chain"
+    (all 4 stages in one launch with HBM-resident weight DMA — requires
+    precision "high"; see ``ops/chain_kernel.py``).
     """
     from ..ops.conv_kernel import fused_temporal_block
+    if stage_fusion == "chain":
+        if precision != "high":
+            raise ValueError("chain fusion supports precision='high' only")
+        from ..ops.chain_kernel import fused_temporal_chain
     B, Tlen, D = x.shape
     if D != cfg.input_dim:
         raise ValueError(f"expected input dim {cfg.input_dim}, got {D}")
@@ -218,6 +226,22 @@ def block_kernel_forward(
 
     def chain(p, xin):
         y = _conv(xin, p["stem"]["kernel"])
+        if stage_fusion == "chain":
+            y = fused_temporal_chain(
+                y,
+                jnp.stack(
+                    [p[f"block{i}"]["conv1"]["kernel"] for i in range(4)]
+                ),
+                jnp.stack(
+                    [p[f"block{i}"]["conv2"]["kernel"] for i in range(4)]
+                ),
+                jnp.stack([p[f"block{i}"]["norm"]["scale"] for i in range(4)]),
+                jnp.stack([p[f"block{i}"]["norm"]["bias"] for i in range(4)]),
+                dilations=_DILATIONS,
+                block_windows=min(block_windows, 16),
+                interpret=interpret,
+            )
+            return y @ p["proj"]["kernel"]
         for i, dil in enumerate(_DILATIONS):
             bp = p[f"block{i}"]
             y = fused_temporal_block(

@@ -86,14 +86,20 @@ class WindowEncoder:
         # "auto": on single-chip TPU at "high" precision, run the residual
         # conv stages (85% of encoder time) in the fused Pallas kernel —
         # measured 1.2x the module forward at bf16_3x-level agreement
-        # (BENCH_NOTES round-2). "module" forces the flax forward.
+        # (BENCH_NOTES round-2). "chain_kernel" additionally fuses all 4
+        # stages per chain into one launch (ops/chain_kernel.py).
+        # "module" forces the flax forward.
         self._use_block_kernel = (
-            encoder_impl in ("auto", "block_kernel")
+            encoder_impl in ("auto", "block_kernel", "chain_kernel")
             and mesh is None
             and jax.default_backend() == "tpu"
             and matmul_precision == "high"
             and batch_size % 32 == 0
-        ) or (encoder_impl == "block_kernel" and jax.default_backend() != "tpu")
+        ) or (
+            encoder_impl in ("block_kernel", "chain_kernel")
+            and jax.default_backend() != "tpu"
+        )
+        self._stage_fusion = "chain" if encoder_impl == "chain_kernel" else "stage"
         # "auto": burst Pallas DMA gather on single-chip TPU when the batch
         # and starts satisfy its alignment contract (checked per sweep in
         # encode_bank), falling back to the pure-XLA sliced gather. Sharded
@@ -141,6 +147,7 @@ class WindowEncoder:
                 seq, frames, _ = block_kernel_forward(
                     self.model.config, params, w,
                     block_windows=bw, precision="high", interpret=interp,
+                    stage_fusion=self._stage_fusion,
                 )
                 return seq, frames
         else:
