@@ -104,6 +104,8 @@ def bench_mesh(batch: int, iters: int, dtype, depth: int) -> None:
 
 
 def main() -> None:
+    from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=16)

@@ -59,6 +59,8 @@ def synth_videos(n: int, t: int, h: int, w: int, out_dir: str, seed: int = 0):
 
 
 def main() -> None:
+    from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--videos", type=int, default=4)
     p.add_argument("--frames", type=int, default=64)
@@ -67,6 +69,10 @@ def main() -> None:
     p.add_argument("--vit-depth", type=int, default=32)
     p.add_argument("--no-decode", action="store_true",
                    help="pre-decode outside the timed region")
+    p.add_argument("--breakdown", action="store_true",
+                   help="after the timed passes, time each stage with "
+                        "completion barriers (distorts pipelining; for "
+                        "diagnosis only)")
     args = p.parse_args()
     H, W = (int(x) for x in args.hw.split("x"))
 
@@ -141,6 +147,80 @@ def main() -> None:
         res = run_once()
         steady = time.perf_counter() - t0
 
+        breakdown = {}
+        if args.breakdown:
+            import jax.numpy as jnp_
+
+            frames = (decoded or {
+                f"v{i}_jumping_jack": load_all_frames(p)
+                for i, p in enumerate(paths)
+            })
+            name0 = next(iter(frames))
+            f0 = frames[name0]
+            H0, W0 = f0.shape[1], f0.shape[2]
+            wh = (jnp_.float32(W0), jnp_.float32(H0))
+
+            def timed(label, fn, iters=4):
+                fn()  # warm
+                t = time.perf_counter()
+                for _ in range(iters):
+                    out = fn()
+                breakdown[label] = round(
+                    (time.perf_counter() - t) / iters * 1e3, 1
+                )
+                return out
+
+            t = time.perf_counter()
+            for _ in range(4):
+                fd = extractor._upload_frames(f0)
+                _ = float(fd[0, 0, 0, 0])  # completion barrier
+            breakdown["upload_cast_ms"] = round(
+                (time.perf_counter() - t) / 4 * 1e3, 1
+            )
+            box1, single = timed(
+                "detect_ms",
+                lambda: jax.tree_util.tree_map(
+                    np.asarray,
+                    extractor._batched(
+                        lambda f: extractor._detect(
+                            extractor.params["det"], f, wh
+                        ),
+                        fd, fetch=False,
+                    ),
+                ),
+            )
+            timed(
+                "mesh_ms",
+                lambda: extractor._batched(
+                    lambda f, b: extractor._mesh_forward(
+                        extractor.params["vit"], extractor.params["head"], f, b
+                    ),
+                    fd, jnp_.asarray(box1),
+                ),
+            )
+            timed(
+                "pose_kp_ms",
+                lambda: jax.tree_util.tree_map(
+                    np.asarray,
+                    extractor._kp_post(
+                        *extractor._batched(
+                            lambda f, b: extractor._pose_forward(
+                                extractor.params["pose"], f, b, wh
+                            ),
+                            fd, jnp_.asarray(box1), fetch=False,
+                        ),
+                        wh,
+                    ),
+                ),
+            )
+            t = time.perf_counter()
+            for _ in range(4):
+                for pp in paths:
+                    _ = load_all_frames(pp)
+            breakdown["decode_all_videos_ms"] = round(
+                (time.perf_counter() - t) / 4 * 1e3, 1
+            )
+
     n_frames = args.videos * args.frames
     for v in res.scores.values():
         assert np.isfinite(v["tc"]), "non-finite TC from full pipeline"
@@ -161,6 +241,7 @@ def main() -> None:
                 "steady_sec": round(steady, 2),
                 "scored": len(res.scores),
                 "rejected": len(res.rejected),
+                **({"breakdown_per_video": breakdown} if breakdown else {}),
             }
         )
     )

@@ -195,10 +195,16 @@ class Extractor:
         self._mesh_forward = mesh_forward
         self._pose_forward = pose_forward
         self._kp_post = kp_post
+        self._to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32))
 
     # ------------------------------------------------------------------
-    def _batched(self, fn, frames: np.ndarray, *extra):
-        """Run a jitted per-frame-stack fn in fixed-size chunks (pad tail)."""
+    def _batched(self, fn, frames, *extra, fetch: bool = True):
+        """Run a jitted per-frame-stack fn in fixed-size chunks (pad tail).
+
+        ``frames``/``extra`` may be numpy or device arrays; chunk outputs are
+        queued device-side and fetched once at the end (``fetch=True``) so
+        dispatch pipelines instead of paying a host round trip per chunk —
+        through the axon tunnel that round trip is ~28 ms (BENCH_NOTES)."""
         B = self.cfg.frame_batch
         n = frames.shape[0]
         outs = []
@@ -206,21 +212,108 @@ class Extractor:
             chunk = frames[lo : lo + B]
             pad = B - chunk.shape[0]
             if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
+                )
             extras = []
             for e in extra:
                 ce = e[lo : lo + B]
                 if pad:
-                    ce = np.concatenate([ce, np.repeat(ce[-1:], pad, axis=0)])
+                    ce = jnp.concatenate([ce, jnp.repeat(ce[-1:], pad, axis=0)])
                 extras.append(jnp.asarray(ce))
             out = fn(jnp.asarray(chunk), *extras)
-            out = jax.tree_util.tree_map(np.asarray, out)
             if pad:
                 out = jax.tree_util.tree_map(lambda x: x[:-pad], out)
             outs.append(out)
-        return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *outs)
+        joined = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0], *outs
+        )
+        if fetch:
+            joined = jax.tree_util.tree_map(np.asarray, joined)
+        return joined
 
     # ------------------------------------------------------------------
+    def _upload_frames(self, frames: np.ndarray) -> jnp.ndarray:
+        """Host uint8 frames -> device f32, ONE transfer.
+
+        Through the axon tunnel host->device moves ~55 MB/s, so the frame
+        stack is shipped once in uint8 (4x smaller than f32) and cast on
+        device; all stages then slice the same device-resident array."""
+        return self._to_f32(jax.device_put(np.ascontiguousarray(frames)))
+
+    def process_video_full(
+        self,
+        frames: T.Optional[np.ndarray],
+        with_keypoints: bool = False,
+        frames_dev: T.Optional[jnp.ndarray] = None,
+    ) -> T.Tuple[T.Optional[T.Dict[str, np.ndarray]], T.Optional[T.Dict[str, np.ndarray]]]:
+        """Mesh (+ keypoint) extraction for one video with ONE frame upload
+        and ONE detector pass shared by both heads.
+
+        ``frames``: [T, H, W, 3] uint8 RGB (or None when ``frames_dev`` — a
+        pre-uploaded device f32 stack, e.g. from a prefetch thread — is
+        given). Returns ``(mesh, kp)`` where ``mesh`` is None if the video
+        fails the single-person ratio test (ref ``mesh_generator.py:113-117``)
+        — keypoints are then skipped, matching ``run_tree``'s reference
+        behavior."""
+        frames_f32 = (
+            frames_dev if frames_dev is not None else self._upload_frames(frames)
+        )
+        Tn, H, W, _ = frames_f32.shape
+        wh = (jnp.float32(W), jnp.float32(H))
+        # dispatch EVERY stage device-side before any host fetch: the whole
+        # per-video graph (detect -> crops -> mesh [-> pose -> postprocess])
+        # chains on device, and the host blocks only once at the end. The
+        # mesh/pose work is speculative w.r.t. the single-person ratio test —
+        # for rejected videos it is wasted, but accepted videos (the common
+        # case) never stall on the detector fetch.
+        box1, single = self._batched(
+            lambda f: self._detect(self.params["det"], f, wh),
+            frames_f32,
+            fetch=False,
+        )
+        out = self._batched(
+            lambda f, b: self._mesh_forward(
+                self.params["vit"], self.params["head"], f, b
+            ),
+            frames_f32,
+            box1,
+            fetch=False,
+        )
+        if with_keypoints:
+            kps134, sc134 = self._batched(
+                lambda f, b: self._pose_forward(self.params["pose"], f, b, wh),
+                frames_f32,
+                box1,
+                fetch=False,
+            )
+            kp120, valid = self._kp_post(kps134, sc134, wh)
+
+        single_np = np.asarray(single)
+        if self.cfg.keep_all_frames:
+            single_np = np.ones_like(single_np, dtype=bool)
+        elif single_np.sum() == 0 or single_np.mean() < self.cfg.min_single_ratio:
+            return None, None
+
+        out = jax.tree_util.tree_map(np.asarray, out)
+        keep = np.where(single_np)[0]
+        mesh = {
+            "pose": out["body_pose"][keep],
+            "betas": out["betas"][keep],
+            "global_orient": out["global_orient"][keep],
+            "vit": out["token_out"][keep],
+            "frame_idx": keep.astype(np.int32),
+        }
+        if not with_keypoints:
+            return mesh, None
+
+        valid = np.asarray(valid)
+        if self.cfg.keep_all_frames:
+            valid = np.ones_like(valid, dtype=bool)
+        else:
+            valid = valid & single_np
+        return mesh, {"kp120": np.asarray(kp120), "valid": valid}
+
     def process_video(self, frames: np.ndarray) -> T.Optional[T.Dict[str, np.ndarray]]:
         """Mesh extraction for one video (ref ``mesh_generator.process_video``).
 
@@ -228,33 +321,8 @@ class Extractor:
         arrays + ``frame_idx`` or None if the video fails the single-person
         ratio test.
         """
-        Tn, H, W, _ = frames.shape
-        frames_f32 = frames.astype(np.float32)
-        wh = (jnp.float32(W), jnp.float32(H))
-        box1, single = self._batched(
-            lambda f: self._detect(self.params["det"], f, wh), frames_f32
-        )
-        single = np.asarray(single)
-        if self.cfg.keep_all_frames:
-            single = np.ones_like(single, dtype=bool)
-        elif single.sum() == 0 or single.mean() < self.cfg.min_single_ratio:
-            return None
-
-        out = self._batched(
-            lambda f, b: self._mesh_forward(
-                self.params["vit"], self.params["head"], f, b
-            ),
-            frames_f32,
-            np.asarray(box1),
-        )
-        keep = np.where(single)[0]
-        return {
-            "pose": out["body_pose"][keep],
-            "betas": out["betas"][keep],
-            "global_orient": out["global_orient"][keep],
-            "vit": out["token_out"][keep],
-            "frame_idx": keep.astype(np.int32),
-        }
+        mesh, _ = self.process_video_full(frames, with_keypoints=False)
+        return mesh
 
     def process_video_keypoints(self, frames: np.ndarray) -> T.Dict[str, np.ndarray]:
         """Whole-body keypoints for one video (ref ``process_video.py``).
@@ -262,18 +330,21 @@ class Extractor:
         Returns ``{"kp120": [T,120], "valid": [T]}``; in bug-compat mode the
         caller saves only valid rows (reference frame-dropping)."""
         Tn, H, W, _ = frames.shape
-        frames_f32 = frames.astype(np.float32)
+        frames_f32 = self._upload_frames(frames)
         wh = (jnp.float32(W), jnp.float32(H))
         box1, single = self._batched(
-            lambda f: self._detect(self.params["det"], f, wh), frames_f32
+            lambda f: self._detect(self.params["det"], f, wh),
+            frames_f32,
+            fetch=False,
         )
         kps134, sc134 = self._batched(
             lambda f, b: self._pose_forward(self.params["pose"], f, b, wh),
             frames_f32,
-            np.asarray(box1),
+            box1,
+            fetch=False,
         )
 
-        kp120, valid = self._kp_post(jnp.asarray(kps134), jnp.asarray(sc134), wh)
+        kp120, valid = self._kp_post(kps134, sc134, wh)
         valid = np.asarray(valid)
         if self.cfg.keep_all_frames:
             valid = np.ones_like(valid, dtype=bool)
@@ -295,9 +366,11 @@ class Extractor:
         """Resumable extraction over ``<video_tree>/<action>/*.{mp4,avi,mkv}``
         (ref ``extract_mesh.py:150-241``).
 
-        Decode runs ``prefetch`` videos ahead on host threads (the native
-        libav decoder when built, OpenCV otherwise) so the device never waits
-        on demux+decode — the reference decodes synchronously per video
+        Decode AND upload run ``prefetch`` videos ahead on host threads (the
+        native libav decoder when built, OpenCV otherwise; the upload ships
+        uint8 and casts on device) so the device never waits on demux+decode
+        and the ~55 MB/s tunnel transfer overlaps the previous video's
+        compute — the reference decodes synchronously per video
         (ref ``extract_mesh.py:200-209``). Set ``prefetch=0`` to disable.
         """
         import concurrent.futures
@@ -305,6 +378,9 @@ class Extractor:
         from ..utils.io import load_all_frames
 
         loader = frame_loader or load_all_frames
+
+        def load_and_upload(path):
+            return self._upload_frames(loader(path))
         all_actions = sorted(
             d for d in os.listdir(video_tree)
             if os.path.isdir(os.path.join(video_tree, d))
@@ -339,21 +415,26 @@ class Extractor:
             if pool is not None:
                 for video in pending[:prefetch]:
                     futures[video] = pool.submit(
-                        loader, os.path.join(action_dir, video)
+                        load_and_upload, os.path.join(action_dir, video)
                     )
             for i, video in enumerate(pending):
                 stem = os.path.splitext(video)[0]
                 try:
+                    frames = frames_dev = None
                     if pool is not None:
                         for nxt in pending[i + 1 : i + 1 + prefetch]:
                             if nxt not in futures:
                                 futures[nxt] = pool.submit(
-                                    loader, os.path.join(action_dir, nxt)
+                                    load_and_upload, os.path.join(action_dir, nxt)
                                 )
-                        frames = futures.pop(video).result()
+                        frames_dev = futures.pop(video).result()
                     else:
                         frames = loader(os.path.join(action_dir, video))
-                    mesh = self.process_video(frames)
+                    mesh, kp = self.process_video_full(
+                        frames,
+                        with_keypoints=kp_out_root is not None,
+                        frames_dev=frames_dev,
+                    )
                     if mesh is not None:
                         save_video_npz(
                             out_root,
@@ -365,8 +446,7 @@ class Extractor:
                             mesh["frame_idx"],
                             meta={"action": action, "video": video},
                         )
-                        if kp_out_root is not None:
-                            kp = self.process_video_keypoints(frames)
+                        if kp is not None:
                             rows = (
                                 kp["kp120"][kp["valid"]]
                                 if self.cfg.kp_bug_compat
