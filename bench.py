@@ -121,10 +121,12 @@ def main() -> None:
         else "module"
     )
     encoder_impl = os.environ.get("BENCH_ENCODER", default_encoder)
-    if encoder_impl in ("kernel", "chain"):
+    if encoder_impl in ("kernel", "chain", "chain2"):
         from video_gen_evals_tpu.models.fused_apply import block_kernel_forward
 
-        fusion = "chain" if encoder_impl == "chain" else "stage"
+        fusion = {"chain": "chain", "chain2": "chain2"}.get(
+            encoder_impl, "stage"
+        )
 
         def forward(params, w):
             seq, frames_emb, _ = block_kernel_forward(

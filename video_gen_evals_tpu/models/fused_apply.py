@@ -207,7 +207,7 @@ def block_kernel_forward(
     precision "high"; see ``ops/chain_kernel.py``).
     """
     from ..ops.conv_kernel import fused_temporal_block
-    if stage_fusion == "chain":
+    if stage_fusion in ("chain", "chain2"):
         if precision != "high":
             raise ValueError("chain fusion supports precision='high' only")
         from ..ops.chain_kernel import fused_temporal_chain
@@ -226,21 +226,25 @@ def block_kernel_forward(
 
     def chain(p, xin):
         y = _conv(xin, p["stem"]["kernel"])
-        if stage_fusion == "chain":
-            y = fused_temporal_chain(
-                y,
-                jnp.stack(
-                    [p[f"block{i}"]["conv1"]["kernel"] for i in range(4)]
-                ),
-                jnp.stack(
-                    [p[f"block{i}"]["conv2"]["kernel"] for i in range(4)]
-                ),
-                jnp.stack([p[f"block{i}"]["norm"]["scale"] for i in range(4)]),
-                jnp.stack([p[f"block{i}"]["norm"]["bias"] for i in range(4)]),
-                dilations=_DILATIONS,
-                block_windows=min(block_windows, 16),
-                interpret=interpret,
+        if stage_fusion in ("chain", "chain2"):
+            # "chain": all 4 stages, one launch — 10.5 MB resident weights
+            # force block_windows<=16. "chain2": two stages per launch —
+            # half the weights, so the full 32-window block fits.
+            groups = ((0, 1, 2, 3),) if stage_fusion == "chain" else (
+                (0, 1), (2, 3)
             )
+            bw = min(block_windows, 16 if stage_fusion == "chain" else 32)
+            for g in groups:
+                y = fused_temporal_chain(
+                    y,
+                    jnp.stack([p[f"block{i}"]["conv1"]["kernel"] for i in g]),
+                    jnp.stack([p[f"block{i}"]["conv2"]["kernel"] for i in g]),
+                    jnp.stack([p[f"block{i}"]["norm"]["scale"] for i in g]),
+                    jnp.stack([p[f"block{i}"]["norm"]["bias"] for i in g]),
+                    dilations=tuple(_DILATIONS[i] for i in g),
+                    block_windows=bw,
+                    interpret=interpret,
+                )
             return y @ p["proj"]["kernel"]
         for i, dil in enumerate(_DILATIONS):
             bp = p[f"block{i}"]

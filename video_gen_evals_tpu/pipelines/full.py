@@ -155,14 +155,18 @@ def score_videos_end_to_end(
     arrays_list: T.List[T.Dict[str, np.ndarray]] = []
     names: T.List[str] = []
     rejected: T.List[str] = []
-    # one-ahead upload: ship video i+1's frames (async uint8 device_put)
-    # while video i's extraction executes — the ~55 MB/s tunnel transfer
-    # then overlaps device compute instead of serializing with it
+    # one-ahead upload on a host thread: device_put through the axon tunnel
+    # blocks the calling thread (~55 MB/s), so the next video's transfer
+    # runs on a worker while the main thread drives this video's compute
+    import concurrent.futures
+
     items = list(frames_by_video.items())
-    next_dev = extractor._upload_frames(items[0][1]) if items else None
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(extractor._upload_frames, items[0][1]) if items else None
     for i, (name, frames) in enumerate(items):
-        frames_dev, next_dev = next_dev, (
-            extractor._upload_frames(items[i + 1][1])
+        frames_dev = fut.result()
+        fut = (
+            pool.submit(extractor._upload_frames, items[i + 1][1])
             if i + 1 < len(items)
             else None
         )
@@ -179,6 +183,7 @@ def score_videos_end_to_end(
             arrays.pop("kp2d", None)  # no valid kp frames: drop the modality
         arrays_list.append(arrays)
         names.append(name)
+    pool.shutdown(wait=True)
 
     if not arrays_list:
         return FullPipelineResult({}, rejected, stats or ModalityStats({}, {}, {}, {}))
