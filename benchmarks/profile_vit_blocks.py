@@ -73,8 +73,8 @@ def main() -> None:
     cfg = ViTConfig(depth=depth)
     model = ViTBackbone(cfg)
     params = bf16(model.init(jax.random.key(0), crops[:1])["params"])
-    fwd = jax.jit(lambda c: model.apply({"params": params}, c)[0])
-    ms = timeit(fwd, crops)
+    jfwd = jax.jit(lambda p, c: model.apply({"params": p}, c)[0])
+    ms = timeit(lambda c: jfwd(params, c), crops)
     results["full_ms"] = round(ms, 2)
     results["full_fps"] = round(B / ms * 1e3, 1)
     results["full_mfu_pct"] = round(
@@ -100,8 +100,8 @@ def main() -> None:
     tok = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.bfloat16))
     gm = GemmStack()
     gp = bf16(gm.init(jax.random.key(1), tok[:1])["params"])
-    gfwd = jax.jit(lambda t: gm.apply({"params": gp}, t))
-    ms = timeit(gfwd, tok)
+    jg = jax.jit(lambda p, t: gm.apply({"params": p}, t))
+    ms = timeit(lambda t: jg(gp, t), tok)
     results["gemm_only_ms"] = round(ms, 2)
     gemm_flops = 2 * B * N * D * D * 12 * depth
     results["gemm_only_tflops"] = round(gemm_flops / (ms * 1e-3) / 1e12, 1)
@@ -132,15 +132,15 @@ def main() -> None:
 
     nam = NoAttnStack()
     nap = bf16(nam.init(jax.random.key(2), tok[:1])["params"])
-    nfwd = jax.jit(lambda t: nam.apply({"params": nap}, t))
-    results["no_attn_ms"] = round(timeit(nfwd, tok), 2)
+    jn = jax.jit(lambda p, t: nam.apply({"params": p}, t))
+    results["no_attn_ms"] = round(timeit(lambda t: jn(nap, t), tok), 2)
 
     # --- head_dim 128 (10 heads) ---------------------------------------
     cfg128 = ViTConfig(depth=depth, num_heads=10)
     m128 = ViTBackbone(cfg128)
     p128 = bf16(m128.init(jax.random.key(3), crops[:1])["params"])
-    f128 = jax.jit(lambda c: m128.apply({"params": p128}, c)[0])
-    results["hd128_ms"] = round(timeit(f128, crops), 2)
+    j128 = jax.jit(lambda p, c: m128.apply({"params": p}, c)[0])
+    results["hd128_ms"] = round(timeit(lambda c: j128(p128, c), crops), 2)
 
     results.update({"batch": B, "depth": depth})
     print(json.dumps(results))

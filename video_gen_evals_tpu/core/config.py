@@ -113,6 +113,10 @@ class TrainConfig:
     # debug mode: raise on the first NaN instead of silently skipping the
     # batch (SURVEY §5.2 — replaces the reference's silent non-finite skip)
     debug_nans: bool = False
+    # "auto": fused Pallas conv stages (custom VJP, +12.5% steps/s measured
+    # — BENCH_NOTES round 2) on single-chip TPU, module convs elsewhere;
+    # "module"/"kernel" force one implementation
+    conv_impl: str = "auto"
 
     @property
     def batch_size(self) -> int:

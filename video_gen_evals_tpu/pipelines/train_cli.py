@@ -33,6 +33,10 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel devices per data shard (Megatron-"
                         "style shardings over the `model` mesh axis)")
+    p.add_argument("--conv-impl", default=None,
+                   choices=["auto", "module", "kernel"],
+                   help="conv-stage implementation: 'kernel' = fused Pallas "
+                        "stages with custom VJP (+12.5%% steps/s on TPU)")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.from_json(args.config) if args.config else TrainConfig()
@@ -53,6 +57,8 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
             setattr(cfg, field, v)
     if args.bank_cache:
         cfg.bank_cache_dir = args.bank_cache
+    if args.conv_impl:
+        cfg.conv_impl = args.conv_impl
 
     mesh = None
     n_dp = args.dp if args.dp is not None else cfg.num_dp_devices

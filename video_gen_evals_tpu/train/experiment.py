@@ -126,6 +126,16 @@ class Experiment:
         # ---------------- model / optimizer ----------------
         dims_raw = {m: self.stats.dims_map_raw()[m] for m in mods}
         dims_diff = {m: self.stats.dims_map_diff()[m] for m in mods}
+        conv_impl = cfg.conv_impl
+        if conv_impl == "auto":
+            # fused Pallas conv stages with custom VJP (+12.5% steps/s,
+            # BENCH_NOTES round 2); module convs off-TPU and under meshes
+            # (GSPMD partitions the XLA conv lowering directly)
+            conv_impl = (
+                "kernel"
+                if jax.default_backend() == "tpu" and mesh is None
+                else "module"
+            )
         self.enc_cfg = EncoderConfig.create(
             dims_raw,
             dims_diff,
@@ -134,6 +144,7 @@ class Experiment:
             time_layers=cfg.time_layers,
             time_heads=cfg.time_heads,
             dropout=cfg.dropout,
+            conv_impl=conv_impl,
         )
         self.model, params = init_encoder(
             self.enc_cfg, jax.random.key(cfg.seed), cfg.clip_len
