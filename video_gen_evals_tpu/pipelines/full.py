@@ -54,13 +54,22 @@ def arrays_from_extraction(
 
 
 def stats_from_arrays(
-    per_video_arrays: T.Sequence[T.Dict[str, np.ndarray]], eps: float = 1e-6
+    per_video_arrays: T.Sequence[T.Dict[str, np.ndarray]],
+    eps: float = 1e-6,
+    diffs_list: T.Optional[T.Sequence[T.Dict[str, np.ndarray]]] = None,
 ) -> ModalityStats:
-    """In-memory equivalent of ``compute_stats`` over extracted arrays."""
+    """In-memory equivalent of ``compute_stats`` over extracted arrays.
+
+    ``diffs_list``: precomputed ``compute_modality_diffs`` outputs (one dict
+    per video) — computing diffs dispatches device ops with a host fetch per
+    modality, so callers that also build a bank should compute them once."""
     accs_raw = {m: _Acc() for m in MODALITIES}
     accs_diff = {m: _Acc() for m in MODALITIES}
-    for arrays in per_video_arrays:
-        diffs = compute_modality_diffs(arrays)
+    for vi, arrays in enumerate(per_video_arrays):
+        diffs = (
+            diffs_list[vi] if diffs_list is not None
+            else compute_modality_diffs(arrays)
+        )
         for m, X in arrays.items():
             accs_raw[m].update(X)
         for m, X in diffs.items():
@@ -79,6 +88,7 @@ def bank_from_arrays(
     classes: T.Sequence[str],
     stats: ModalityStats,
     min_rows: int = 40,
+    diffs_list: T.Optional[T.Sequence[T.Dict[str, np.ndarray]]] = None,
 ) -> FeatureBank:
     """In-memory feature-bank builder over extracted arrays."""
     mods = stats.modalities
@@ -87,7 +97,10 @@ def bank_from_arrays(
     row_limit = np.zeros(len(per_video_arrays), np.int32)
     row = 0
     for i, arrays in enumerate(per_video_arrays):
-        diffs = compute_modality_diffs(arrays)
+        diffs = (
+            diffs_list[i] if diffs_list is not None
+            else compute_modality_diffs(arrays)
+        )
         height = max(arrays[m].shape[0] for m in mods)
         n_rows = max(height + 1, min_rows)
         n_rows = (n_rows + _ROW_ALIGN - 1) // _ROW_ALIGN * _ROW_ALIGN
@@ -148,9 +161,14 @@ def score_videos_end_to_end(
     stats: T.Optional[ModalityStats] = None,
     cfg: T.Optional[ScoreConfig] = None,
     with_keypoints: bool = True,
+    encoder: T.Optional[WindowEncoder] = None,
 ) -> FullPipelineResult:
     """Decode-to-scores in one call: batched extraction (detector -> crops ->
-    mesh net [+ pose net]) -> in-memory feature bank -> encoder -> AC/TC."""
+    mesh net [+ pose net]) -> in-memory feature bank -> encoder -> AC/TC.
+
+    Pass a prebuilt ``encoder`` (WindowEncoder on the same model/params/
+    batch geometry) to amortize its jit trace across calls — a scoring
+    service keeps it warm; rebuilding per call costs seconds of retrace."""
     cfg = cfg or ScoreConfig()
     arrays_list: T.List[T.Dict[str, np.ndarray]] = []
     names: T.List[str] = []
@@ -194,8 +212,9 @@ def score_videos_end_to_end(
         common &= set(a)
     arrays_list = [{m: a[m] for m in a if m in common} for a in arrays_list]
 
+    diffs_list = [compute_modality_diffs(a) for a in arrays_list]
     if stats is None:
-        stats = stats_from_arrays(arrays_list)
+        stats = stats_from_arrays(arrays_list, diffs_list=diffs_list)
     used_mods = [m for m in stats.modalities if m in common]
     stats = ModalityStats(
         {m: stats.mean_raw[m] for m in used_mods},
@@ -208,7 +227,8 @@ def score_videos_end_to_end(
         infer_class_from_name(n, label_dict.keys()) or next(iter(label_dict))
         for n in names
     ]
-    bank = bank_from_arrays(arrays_list, names, classes, stats)
+    bank = bank_from_arrays(arrays_list, names, classes, stats,
+                            diffs_list=diffs_list)
     manifest = VideoManifest(
         [
             VideoItem(cls=c, name=n, path="", length=a["vit"].shape[0], vit_dim=a["vit"].shape[1])
@@ -216,9 +236,10 @@ def score_videos_end_to_end(
         ]
     )
     windows = enumerate_windows(manifest, cfg.clip_len, cfg.stride)
-    encoder = WindowEncoder(
-        model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
-    )
+    if encoder is None:
+        encoder = WindowEncoder(
+            model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
+        )
     seqs, window_tc, win_video = encoder.encode_bank(bank, windows)
     num_videos = len(names)
     tc_v = np.asarray(
