@@ -176,11 +176,12 @@ def test_window_encoder_block_kernel_matches_module(env):
 
     enc_m = WindowEncoder(model, params, 16, 16, encoder_impl="module")
     sm, tm, vm = enc_m.encode_bank(bank, windows)
-    enc_k = WindowEncoder(model, params, 16, 16, encoder_impl="block_kernel")
-    assert enc_k._use_block_kernel
-    sk, tk, vk = enc_k.encode_bank(bank, windows)
+    for impl in ("block_kernel", "chain_kernel"):
+        enc_k = WindowEncoder(model, params, 16, 16, encoder_impl=impl)
+        assert enc_k._use_block_kernel
+        sk, tk, vk = enc_k.encode_bank(bank, windows)
 
-    np.testing.assert_array_equal(vm, vk)
-    # CPU interpret runs the kernel's bf16_3x decomposition vs the f32 module
-    np.testing.assert_allclose(sm, sk, atol=5e-4)
-    np.testing.assert_allclose(tm, tk, atol=5e-4)
+        np.testing.assert_array_equal(vm, vk)
+        # CPU interpret runs the kernel's bf16_3x decomposition vs f32 module
+        np.testing.assert_allclose(sm, sk, atol=5e-4, err_msg=impl)
+        np.testing.assert_allclose(tm, tk, atol=5e-4, err_msg=impl)
