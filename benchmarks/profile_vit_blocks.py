@@ -144,6 +144,14 @@ def main() -> None:
     j128 = jax.jit(lambda p, c: m128.apply({"params": p}, c)[0])
     results["hd128_ms"] = round(timeit(lambda c: j128(p128, c), crops), 2)
 
+    # --- Pallas flash attention (bf16 dots) ----------------------------
+    cfgf = ViTConfig(depth=depth, attention_impl="pallas_bf16")
+    mf = ViTBackbone(cfgf)
+    jf = jax.jit(lambda p, c: mf.apply({"params": p}, c)[0])
+    ms = timeit(lambda c: jf(params, c), crops)
+    results["flash_bf16_ms"] = round(ms, 2)
+    results["flash_bf16_fps"] = round(B / ms * 1e3, 1)
+
     results.update({"batch": B, "depth": depth})
     print(json.dumps(results))
 

@@ -44,3 +44,27 @@ def test_flash_blocked_kv(rng):
     )
     ref = np.asarray(attention_xla(q, k, v))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_bf16_precision_mode(rng):
+    """precision='default' (bf16 single-pass dots, the extraction mode)
+    agrees with the einsum reference at bf16-level tolerance."""
+    B, N, H, D = 2, 192, 4, 80
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ref = np.asarray(
+        attention_xla(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+    )
+    out = np.asarray(
+        flash_attention(q, k, v, interpret=True, precision="default")
+    ).astype(np.float32)
+    np.testing.assert_allclose(out, ref, atol=0.03, rtol=0.03)

@@ -39,22 +39,33 @@ def attention_xla(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
-                  block_kv: int):
-    """One (batch*head, q-block) program: stream KV blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * scale              # [bq, D]
+                  block_kv: int, precision: str = "highest"):
+    """One (batch*head, q-block) program: stream KV blocks with online softmax.
+
+    ``precision``: "highest" casts q/k/v to f32 and uses 6-pass f32 dots
+    (scoring parity); "default" keeps the inputs' dtype (bf16 extraction:
+    one MXU pass per dot, f32 accumulation — flash-attention standard)."""
+    hi = precision == "highest"
+    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    q = q_ref[0]
+    if hi:
+        q = q.astype(jnp.float32)
     bq, D = q.shape
     n_kv = k_ref.shape[1]
     num_blocks = n_kv // block_kv
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
+        if hi:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                  # [bq, block_kv]
+            precision=prec,
+        ) * scale                                          # [bq, block_kv]
         kv_idx = i * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_kv), 1
         )
@@ -65,9 +76,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p if hi else p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         return acc, m_new, l_new
 
@@ -90,6 +101,7 @@ def flash_attention(
     block_q: int = 128,
     block_kv: int = 128,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Pallas fused attention. q/k/v: [B, N, H, D] -> [B, N, H, D]."""
     B, N, H, D = q.shape
@@ -110,7 +122,8 @@ def flash_attention(
     grid = (B * H, n_pad // bq)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, n_valid=N, block_kv=bkv
+            _flash_kernel, scale=scale, n_valid=N, block_kv=bkv,
+            precision=precision,
         ),
         grid=grid,
         in_specs=[
@@ -136,9 +149,14 @@ def multihead_attention(
     scale: T.Optional[float] = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
-    """Dispatch between the XLA einsum path and the Pallas kernel."""
+    """Dispatch between the XLA einsum path and the Pallas kernel.
+
+    ``impl``: "xla" | "pallas" (f32 dots) | "pallas_bf16" (input-dtype dots,
+    for the bf16 extraction path) | "pallas_interpret"."""
     if impl == "pallas":
         return flash_attention(q, k, v, scale)
+    if impl == "pallas_bf16":
+        return flash_attention(q, k, v, scale, precision="default")
     if impl == "pallas_interpret":
         return flash_attention(q, k, v, scale, interpret=True)
     return attention_xla(q, k, v, scale)
