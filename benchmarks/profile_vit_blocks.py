@@ -152,6 +152,37 @@ def main() -> None:
     results["flash_bf16_ms"] = round(ms, 2)
     results["flash_bf16_fps"] = round(B / ms * 1e3, 1)
 
+    # --- transpose-only "attention" -------------------------------------
+    # isolates the bqhd->bhqk->bqhd relayout cost from softmax+dot cost:
+    # same transposes as real attention, but ctx = transposed-back v
+    class TpOnlyBlock(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            Bq, Nq, _ = x.shape
+            h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+            qkv = nn.Dense(3 * D, name="qkv")(h).reshape(Bq, Nq, 3, H, D // H)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            vt = jnp.transpose(v, (0, 2, 1, 3))            # bqhd -> bhqd
+            vt = vt + jnp.transpose(q + k, (0, 2, 1, 3)) * jnp.bfloat16(1e-6)
+            ctx = jnp.transpose(vt, (0, 2, 1, 3)).reshape(Bq, Nq, D)
+            x = x + nn.Dense(D, name="proj")(ctx)
+            h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+            h = nn.Dense(4 * D, name="fc1")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            return x + nn.Dense(D, name="fc2")(h)
+
+    class TpOnlyStack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(depth):
+                x = TpOnlyBlock(name=f"b{i}")(x)
+            return x
+
+    tm_ = TpOnlyStack()
+    tp_ = bf16(tm_.init(jax.random.key(4), tok[:1])["params"])
+    jt = jax.jit(lambda p, t: tm_.apply({"params": p}, t))
+    results["transpose_only_ms"] = round(timeit(lambda t: jt(tp_, t), tok), 2)
+
     results.update({"batch": B, "depth": depth})
     print(json.dumps(results))
 
