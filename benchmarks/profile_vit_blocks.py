@@ -183,6 +183,17 @@ def main() -> None:
     jt = jax.jit(lambda p, t: tm_.apply({"params": p}, t))
     results["transpose_only_ms"] = round(timeit(lambda t: jt(tp_, t), tok), 2)
 
+    # --- layout-preserving attention core (ops/attention_core.py) -------
+    cfgc = ViTConfig(depth=depth, attention_impl="core")
+    mc = ViTBackbone(cfgc)
+    jc = jax.jit(lambda p, c: mc.apply({"params": p}, c)[0])
+    ms = timeit(lambda c: jc(params, c), crops)
+    results["core_ms"] = round(ms, 2)
+    results["core_fps"] = round(B / ms * 1e3, 1)
+    results["core_mfu_pct"] = round(
+        flops_frame * (depth / 32) * B / (ms * 1e-3) / 197e12 * 100, 1
+    )
+
     results.update({"batch": B, "depth": depth})
     print(json.dumps(results))
 

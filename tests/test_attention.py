@@ -68,3 +68,38 @@ def test_flash_bf16_precision_mode(rng):
         flash_attention(q, k, v, interpret=True, precision="default")
     ).astype(np.float32)
     np.testing.assert_allclose(out, ref, atol=0.03, rtol=0.03)
+
+
+def test_mha_core_matches_reference(rng):
+    """Layout-preserving attention core (ops/attention_core.py) vs einsum."""
+    from video_gen_evals_tpu.ops.attention_core import mha_core
+
+    B, N, H, D = 2, 48, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+    ref = np.asarray(
+        attention_xla(
+            q.reshape(B, N, H, D), k.reshape(B, N, H, D), v.reshape(B, N, H, D)
+        )
+    ).reshape(B, N, H * D)
+    out = np.asarray(
+        mha_core(q, k, v, heads=H, precision="highest", interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_vit_block_core_impl_matches_xla(rng):
+    """ViTBlock(attention_impl='core') == the einsum block on shared params."""
+    import jax
+    from video_gen_evals_tpu.models.vit import ViTBlock
+
+    B, N, D, H = 2, 24, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    blk_x = ViTBlock(D, H)
+    blk_c = ViTBlock(D, H, attention_impl="core_interpret")
+    params = blk_x.init(jax.random.key(0), x)["params"]
+    yx = blk_x.apply({"params": params}, x)
+    yc = blk_c.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(yx), atol=5e-3,
+                               rtol=5e-3)

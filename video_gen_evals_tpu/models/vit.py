@@ -64,6 +64,29 @@ class ViTBlock(nn.Module):
         hd = D // H
 
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.attention_impl in ("core", "core_interpret"):
+            # layout-preserving fused attention (ops/attention_core.py):
+            # q/k/v stay [B, N, D] contiguous slices of the qkv GEMM output
+            # — no bqhd<->bhqk relayouts, softmax fused in-kernel. The
+            # head-major column order of the qkv weight matches the reshape
+            # path, so params are interchangeable.
+            from ..ops.attention_core import mha_core
+
+            qkv_flat = nn.Dense(3 * D, name="qkv")(h)
+            ctx = mha_core(
+                qkv_flat[..., :D],
+                qkv_flat[..., D : 2 * D],
+                qkv_flat[..., 2 * D :],
+                heads=H,
+                precision="default",
+                interpret=self.attention_impl == "core_interpret",
+            )
+            x = x + nn.Dense(D, name="proj")(ctx)
+            h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+            h = nn.Dense(int(D * self.mlp_ratio), name="fc1")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dense(D, name="fc2")(h)
+            return x + h
         qkv = nn.Dense(3 * D, name="qkv")(h).reshape(B, N, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.attention_impl != "xla":
