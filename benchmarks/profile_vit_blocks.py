@@ -194,6 +194,12 @@ def main() -> None:
         flops_frame * (depth / 32) * B / (ms * 1e-3) / 197e12 * 100, 1
     )
 
+    # --- core kernel with 128-lane-aligned heads (10 x 128) -------------
+    cfgca = ViTConfig(depth=depth, num_heads=10, attention_impl="core")
+    mca = ViTBackbone(cfgca)
+    jca = jax.jit(lambda p, c: mca.apply({"params": p}, c)[0])
+    results["core_hd128_ms"] = round(timeit(lambda c: jca(p128, c), crops), 2)
+
     results.update({"batch": B, "depth": depth})
     print(json.dumps(results))
 

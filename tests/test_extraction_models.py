@@ -293,3 +293,18 @@ def test_pose_net_shapes(rng):
     assert (k[pos][..., 0] >= 0).all() and (k[pos][..., 0] <= 48).all()
     assert (k[pos][..., 1] >= 0).all() and (k[pos][..., 1] <= 64).all()
     assert (k[~pos] == -1).all()
+
+
+def test_crop_resize_matmul_matches_gather(rng):
+    """Separable two-matmul resize == 4-tap gather bilinear, incl. edges."""
+    from video_gen_evals_tpu.ops.image import crop_resize_matmul
+
+    img = jnp.asarray(rng.normal(size=(24, 20, 3)).astype(np.float32))
+    for box in (
+        jnp.asarray([10.0, 12.0, 20.0, 24.0]),   # identity-ish
+        jnp.asarray([4.0, 5.0, 7.0, 9.0]),       # interior subregion
+        jnp.asarray([1.0, 2.0, 30.0, 40.0]),     # spills past every edge
+    ):
+        ref = np.asarray(crop_resize(img, box, (16, 12)))
+        out = np.asarray(crop_resize_matmul(img, box, (16, 12)))
+        np.testing.assert_allclose(out, ref, atol=2e-4)

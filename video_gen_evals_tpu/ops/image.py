@@ -64,6 +64,46 @@ def crop_resize(
     return bilinear_sample(img, ys, xs)
 
 
+def crop_resize_matmul(
+    img: jnp.ndarray,                # [H, W, C] float
+    box_cxcywh: jnp.ndarray,         # [4]
+    out_hw: T.Tuple[int, int],
+) -> jnp.ndarray:
+    """``crop_resize`` as two MXU matmuls instead of 4-tap gathers.
+
+    Bilinear sampling is separable: out = Wy @ img @ Wx^T where Wy is the
+    row-weight matrix with (1-frac) at the clipped floor tap and frac at the
+    clipped floor+1 tap — built with equality compares so it is BIT-FAITHFUL
+    to ``bilinear_sample``'s index-clip convention, including its
+    out-of-range behavior (below-range samples interpolate rows 0/1 with the
+    raw fractional part). XLA gathers run element-at-a-time on TPU — the
+    matmul form is the fast path for the extraction crops (25M gathers per
+    32-frame chunk otherwise)."""
+    H, W, C = img.shape
+    oh, ow = out_hw
+
+    def weights(coords, n):
+        f = jnp.floor(coords)
+        frac = coords - f
+        i0 = jnp.clip(f.astype(jnp.int32), 0, n - 1)
+        i1 = jnp.clip(i0 + 1, 0, n - 1)
+        idx = jnp.arange(n)[None, :]
+        return (
+            (idx == i0[:, None]) * (1.0 - frac[:, None])
+            + (idx == i1[:, None]) * frac[:, None]
+        ).astype(img.dtype)
+
+    cx, cy, w, h = box_cxcywh[0], box_cxcywh[1], box_cxcywh[2], box_cxcywh[3]
+    x0 = cx - w / 2.0
+    y0 = cy - h / 2.0
+    ys = y0 + (jnp.arange(oh, dtype=img.dtype) + 0.5) * (h / oh) - 0.5
+    xs = x0 + (jnp.arange(ow, dtype=img.dtype) + 0.5) * (w / ow) - 0.5
+    wy = weights(ys, H)                                   # [oh, H]
+    wx = weights(xs, W)                                   # [ow, W]
+    t = (wy @ img.reshape(H, W * C)).reshape(oh, W, C)
+    return jnp.einsum("ywc,xw->yxc", t, wx)
+
+
 def batched_person_crops(
     frames: jnp.ndarray,             # [N, H, W, 3] float32 (RGB, 0..255)
     boxes_xyxy: jnp.ndarray,         # [N, 4] person boxes (pixels)
@@ -72,12 +112,14 @@ def batched_person_crops(
     scale: float = 1.0,
     mean: T.Optional[jnp.ndarray] = None,
     std: T.Optional[jnp.ndarray] = None,
+    impl: str = "matmul",
 ) -> jnp.ndarray:
     """Expand each box to the target aspect ratio, crop, resize, normalize.
 
     Mirrors top-down pose/mesh preprocessing: the box is expanded (not
     squashed) to match ``out_hw``'s aspect ratio around its center, optionally
     scaled, then bilinearly resized; mean/std are per-channel (0..255 scale).
+    ``impl``: "matmul" (separable MXU form, default) or "gather" (4-tap).
     """
     oh, ow = out_hw
     x0, y0, x1, y1 = (
@@ -96,7 +138,8 @@ def batched_person_crops(
         h = jnp.where(w / jnp.maximum(h, 1e-6) >= target, w / target, h)
     boxes = jnp.stack([cx, cy, w, h], axis=1)
 
-    crops = jax.vmap(lambda im, b: crop_resize(im, b, out_hw))(frames, boxes)
+    fn = crop_resize_matmul if impl == "matmul" else crop_resize
+    crops = jax.vmap(lambda im, b: fn(im, b, out_hw))(frames, boxes)
     if mean is not None:
         crops = (crops - mean) / std
     return crops

@@ -49,7 +49,7 @@ from ..models.pose2d import (
 )
 from ..models.smpl_head import SMPLHeadConfig, SMPLTokenDecoderHead
 from ..models.vit import ViTBackbone, ViTConfig
-from ..ops.image import batched_person_crops, crop_resize
+from ..ops.image import batched_person_crops, crop_resize_matmul
 from ..utils.io import ResumableLedger, save_video_npz
 
 # ImageNet-ish crop normalization (0..255 scale), matching top-down defaults
@@ -114,7 +114,9 @@ class Extractor:
             # resize full frames to detector input (device-side)
             W, H = frame_wh
             full_box = jnp.stack([W / 2.0, H / 2.0, W, H])
-            det_in = jax.vmap(lambda f: crop_resize(f, full_box, (dh, dw)))(frames_f32)
+            det_in = jax.vmap(
+                lambda f: crop_resize_matmul(f, full_box, (dh, dw))
+            )(frames_f32)
             det_in = (det_in - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
             raw = self.detector.apply({"params": params}, det_in)
             boxes, scores, valid = person_detections(
