@@ -316,6 +316,126 @@ class Extractor:
             valid = valid & single_np
         return mesh, {"kp120": np.asarray(kp120), "valid": valid}
 
+    def process_videos_streamed(
+        self,
+        items: T.Sequence[T.Tuple[str, np.ndarray]],
+        with_keypoints: bool = False,
+        upload_threads: int = 2,
+        max_stream_frames: int = 2048,
+    ) -> T.Tuple[
+        T.Dict[str, T.Optional[T.Dict[str, np.ndarray]]],
+        T.Dict[str, T.Optional[T.Dict[str, np.ndarray]]],
+    ]:
+        """Cross-video streamed extraction: ALL frames of a same-resolution
+        video group run through detect -> mesh [-> pose] as one chunked
+        device stream, then results split back per video.
+
+        Per-video semantics are preserved exactly (single-person ratio test,
+        keypoint validity); what changes is the execution shape — full
+        ``frame_batch`` chunks regardless of video length, one host fetch
+        per stage per super-batch instead of per video. The reference
+        processes one video at a time with a per-frame detector loop
+        (ref ``extract_mesh.py:200-236``).
+
+        Returns ``(mesh_by_name, kp_by_name)``; a rejected video maps to
+        None in both.
+        """
+        import concurrent.futures
+
+        mesh_by_name: T.Dict[str, T.Optional[T.Dict[str, np.ndarray]]] = {}
+        kp_by_name: T.Dict[str, T.Optional[T.Dict[str, np.ndarray]]] = {}
+        groups: T.Dict[T.Tuple[int, int], T.List[T.Tuple[str, np.ndarray]]] = {}
+        for name, frames in items:
+            groups.setdefault(tuple(frames.shape[1:3]), []).append(
+                (name, frames)
+            )
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=upload_threads)
+        try:
+            for (H, W), group in groups.items():
+                # super-batches bound device memory (f32 stream + stages)
+                batches: T.List[T.List[T.Tuple[str, np.ndarray]]] = [[]]
+                nf = 0
+                for name, frames in group:
+                    if nf + frames.shape[0] > max_stream_frames and batches[-1]:
+                        batches.append([])
+                        nf = 0
+                    batches[-1].append((name, frames))
+                    nf += frames.shape[0]
+                for batch in batches:
+                    self._stream_one_batch(
+                        batch, H, W, with_keypoints, pool,
+                        mesh_by_name, kp_by_name,
+                    )
+        finally:
+            pool.shutdown(wait=True)
+        return mesh_by_name, kp_by_name
+
+    def _stream_one_batch(
+        self, batch, H, W, with_keypoints, pool, mesh_by_name, kp_by_name
+    ) -> None:
+        names = [n for n, _ in batch]
+        lengths = [f.shape[0] for _, f in batch]
+        devs = list(pool.map(lambda nf: self._upload_frames(nf[1]), batch))
+        stream = jnp.concatenate(devs, axis=0) if len(devs) > 1 else devs[0]
+        wh = (jnp.float32(W), jnp.float32(H))
+
+        box1, single = self._batched(
+            lambda f: self._detect(self.params["det"], f, wh),
+            stream,
+            fetch=False,
+        )
+        out = self._batched(
+            lambda f, b: self._mesh_forward(
+                self.params["vit"], self.params["head"], f, b
+            ),
+            stream,
+            box1,
+            fetch=False,
+        )
+        if with_keypoints:
+            kps134, sc134 = self._batched(
+                lambda f, b: self._pose_forward(self.params["pose"], f, b, wh),
+                stream,
+                box1,
+                fetch=False,
+            )
+            kp120, kvalid = self._kp_post(kps134, sc134, wh)
+            kp120 = np.asarray(kp120)
+            kvalid = np.asarray(kvalid)
+
+        single_np = np.asarray(single)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+        for i, name in enumerate(names):
+            lo, hi = offs[i], offs[i + 1]
+            s = single_np[lo:hi]
+            if self.cfg.keep_all_frames:
+                s = np.ones_like(s, dtype=bool)
+            if s.sum() == 0 or s.mean() < (
+                0.0 if self.cfg.keep_all_frames else self.cfg.min_single_ratio
+            ):
+                mesh_by_name[name] = None
+                kp_by_name[name] = None
+                continue
+            keep = np.where(s)[0]
+            mesh_by_name[name] = {
+                "pose": out["body_pose"][lo:hi][keep],
+                "betas": out["betas"][lo:hi][keep],
+                "global_orient": out["global_orient"][lo:hi][keep],
+                "vit": out["token_out"][lo:hi][keep],
+                "frame_idx": keep.astype(np.int32),
+            }
+            if with_keypoints:
+                v = kvalid[lo:hi]
+                if self.cfg.keep_all_frames:
+                    v = np.ones_like(v, dtype=bool)
+                else:
+                    v = v & s
+                kp_by_name[name] = {"kp120": kp120[lo:hi], "valid": v}
+            else:
+                kp_by_name[name] = None
+
     def process_video(self, frames: np.ndarray) -> T.Optional[T.Dict[str, np.ndarray]]:
         """Mesh extraction for one video (ref ``mesh_generator.process_video``).
 

@@ -173,24 +173,16 @@ def score_videos_end_to_end(
     arrays_list: T.List[T.Dict[str, np.ndarray]] = []
     names: T.List[str] = []
     rejected: T.List[str] = []
-    # one-ahead upload on a host thread: device_put through the axon tunnel
-    # blocks the calling thread (~55 MB/s), so the next video's transfer
-    # runs on a worker while the main thread drives this video's compute
-    import concurrent.futures
-
+    # cross-video streamed extraction: every video's frames flow through
+    # detect/mesh/pose as one chunked device stream (threaded uploads, one
+    # host fetch per stage per super-batch) — see process_videos_streamed
     items = list(frames_by_video.items())
-    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-    fut = pool.submit(extractor._upload_frames, items[0][1]) if items else None
-    for i, (name, frames) in enumerate(items):
-        frames_dev = fut.result()
-        fut = (
-            pool.submit(extractor._upload_frames, items[i + 1][1])
-            if i + 1 < len(items)
-            else None
-        )
-        mesh, kp = extractor.process_video_full(
-            None, with_keypoints=with_keypoints, frames_dev=frames_dev
-        )
+    mesh_by_name, kp_by_name = extractor.process_videos_streamed(
+        items, with_keypoints=with_keypoints
+    )
+    for name, _frames in items:
+        mesh = mesh_by_name[name]
+        kp = kp_by_name[name]
         if mesh is None:
             rejected.append(name)
             continue
@@ -201,7 +193,6 @@ def score_videos_end_to_end(
             arrays.pop("kp2d", None)  # no valid kp frames: drop the modality
         arrays_list.append(arrays)
         names.append(name)
-    pool.shutdown(wait=True)
 
     if not arrays_list:
         return FullPipelineResult({}, rejected, stats or ModalityStats({}, {}, {}, {}))
