@@ -62,6 +62,10 @@ class ScoreConfig:
     # the throughput; "highest" is bit-closest to the fp32 reference;
     # "default" (~2.8x) exceeds the 1e-3 parity budget (see PARITY.md)
     matmul_precision: str = "high"
+    # forward/gather implementation selectors (see WindowEncoder): "auto"
+    # picks the fused Pallas stage kernel + burst gather on single-chip TPU
+    encoder_impl: str = "auto"
+    gather_impl: str = "auto"
 
 
 class WindowEncoder:
@@ -370,7 +374,8 @@ def score_generated(
         stats = compute_stats(train_ds.items, real_paths)
 
     encoder = WindowEncoder(
-        model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
+        model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision,
+        gather_impl=cfg.gather_impl, encoder_impl=cfg.encoder_impl,
     )
     cache = lambda name: (
         os.path.join(bank_cache_dir, name) if bank_cache_dir else None
@@ -439,12 +444,25 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "(layout auto-detection, permissive ckpt loading) — "
                         "see core.config.BugCompat / PARITY.md")
     p.add_argument("--no-bug-compat", dest="bug_compat", action="store_false")
+    p.add_argument("--precision", default="high",
+                   choices=["default", "high", "highest"],
+                   help="matmul precision (PARITY.md: 'high' holds the "
+                        "1e-3 parity budget at ~1.6x 'highest' throughput)")
+    p.add_argument("--encoder-impl", default="auto",
+                   choices=["auto", "module", "block_kernel", "chain_kernel"])
+    p.add_argument("--gather-impl", default="auto",
+                   choices=["auto", "sliced", "burst", "take"])
     args = p.parse_args(argv)
 
     from ..core.config import BugCompat
 
     bc = BugCompat.enabled() if args.bug_compat else BugCompat.disabled()
-    cfg = ScoreConfig(args.clip_len, args.stride, args.batch_size)
+    cfg = ScoreConfig(
+        args.clip_len, args.stride, args.batch_size,
+        matmul_precision=args.precision,
+        encoder_impl=args.encoder_impl,
+        gather_impl=args.gather_impl,
+    )
     # bug-compat: side-modality layout keyed off the keypoint dir NAME
     # (ref utils.py:411-446); otherwise the explicit layouts
     real_paths = ModalityPaths(
