@@ -109,3 +109,31 @@ def test_sharded_window_scoring_matches_serial(rng):
 
     np.testing.assert_allclose(np.asarray(seq8), np.asarray(seq1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tc8), np.asarray(tc1), atol=1e-5)
+
+
+def test_streamed_extraction_matches_per_video(rng):
+    """process_videos_streamed == process_video_full per video (mixed
+    lengths + a tiny super-batch bound forcing multiple stream batches)."""
+    extractor = _stub_single_person_detect(tiny_extractor())
+    items = [
+        (f"v{i}", rng.integers(0, 255, size=(t, 48, 40, 3)).astype(np.uint8))
+        for i, t in enumerate((6, 11, 9))
+    ]
+    mesh_by, kp_by = extractor.process_videos_streamed(
+        items, with_keypoints=True, max_stream_frames=12
+    )
+    for name, frames in items:
+        mesh_ref, kp_ref = extractor.process_video_full(
+            frames, with_keypoints=True
+        )
+        assert (mesh_by[name] is None) == (mesh_ref is None), name
+        if mesh_ref is None:
+            continue
+        for k_ in mesh_ref:
+            np.testing.assert_allclose(
+                mesh_by[name][k_], mesh_ref[k_], atol=1e-5, err_msg=f"{name}/{k_}"
+            )
+        np.testing.assert_array_equal(kp_by[name]["valid"], kp_ref["valid"])
+        np.testing.assert_allclose(
+            kp_by[name]["kp120"], kp_ref["kp120"], atol=1e-4
+        )

@@ -240,7 +240,10 @@ class Extractor:
 
         Through the axon tunnel host->device moves ~55 MB/s, so the frame
         stack is shipped once in uint8 (4x smaller than f32) and cast on
-        device; all stages then slice the same device-resident array."""
+        device; all stages then slice the same device-resident array.
+        Already-device arrays (e.g. from a prefetch thread) pass through."""
+        if isinstance(frames, jax.Array):
+            return frames
         return self._to_f32(jax.device_put(np.ascontiguousarray(frames)))
 
     def process_video_full(
@@ -484,6 +487,7 @@ class Extractor:
         actions: T.Optional[T.List[str]] = None,
         frame_loader: T.Optional[T.Callable[[str], np.ndarray]] = None,
         prefetch: int = 2,
+        stream_group: int = 8,
     ) -> T.Dict[str, int]:
         """Resumable extraction over ``<video_tree>/<action>/*.{mp4,avi,mkv}``
         (ref ``extract_mesh.py:150-241``).
@@ -494,6 +498,13 @@ class Extractor:
         and the ~55 MB/s tunnel transfer overlaps the previous video's
         compute — the reference decodes synchronously per video
         (ref ``extract_mesh.py:200-209``). Set ``prefetch=0`` to disable.
+
+        With ``stream_group > 1`` (and prefetch on), videos run through the
+        device stages as cross-video streamed batches
+        (:meth:`process_videos_streamed`) with the next group decoding
+        ahead; per-video semantics (ledger records, fault isolation via a
+        per-video fallback) are preserved. ``stream_group=1`` forces the
+        per-video path.
         """
         import concurrent.futures
 
@@ -533,61 +544,118 @@ class Extractor:
                     counts["skipped"] += 1
                 else:
                     pending.append(video)
-            futures: T.Dict[str, T.Any] = {}
-            if pool is not None:
-                for video in pending[:prefetch]:
-                    futures[video] = pool.submit(
-                        load_and_upload, os.path.join(action_dir, video)
-                    )
-            for i, video in enumerate(pending):
+            wk = kp_out_root is not None
+
+            def save_and_record(video: str, mesh, kp) -> None:
                 stem = os.path.splitext(video)[0]
-                try:
-                    frames = frames_dev = None
-                    if pool is not None:
-                        for nxt in pending[i + 1 : i + 1 + prefetch]:
-                            if nxt not in futures:
-                                futures[nxt] = pool.submit(
-                                    load_and_upload, os.path.join(action_dir, nxt)
-                                )
-                        frames_dev = futures.pop(video).result()
-                    else:
-                        frames = loader(os.path.join(action_dir, video))
-                    mesh, kp = self.process_video_full(
-                        frames,
-                        with_keypoints=kp_out_root is not None,
-                        frames_dev=frames_dev,
+                if mesh is not None:
+                    save_video_npz(
+                        out_root,
+                        os.path.join(action, stem),
+                        mesh["pose"],
+                        mesh["betas"],
+                        mesh["global_orient"],
+                        mesh["vit"],
+                        mesh["frame_idx"],
+                        meta={"action": action, "video": video},
                     )
-                    if mesh is not None:
-                        save_video_npz(
-                            out_root,
-                            os.path.join(action, stem),
-                            mesh["pose"],
-                            mesh["betas"],
-                            mesh["global_orient"],
-                            mesh["vit"],
-                            mesh["frame_idx"],
-                            meta={"action": action, "video": video},
+                    if kp is not None:
+                        rows = (
+                            kp["kp120"][kp["valid"]]
+                            if self.cfg.kp_bug_compat
+                            else kp["kp120"]
                         )
-                        if kp is not None:
-                            rows = (
-                                kp["kp120"][kp["valid"]]
-                                if self.cfg.kp_bug_compat
-                                else kp["kp120"]
-                            )
-                            kp_dir = os.path.join(kp_out_root, action, stem)
-                            os.makedirs(kp_dir, exist_ok=True)
-                            np.save(
-                                os.path.join(kp_dir, "keypoints.npy"),
-                                rows.astype(np.float32),
-                            )
-                        ledger.record(video, "single")
-                        counts["single"] += 1
-                    else:
-                        ledger.record(video, "not_single")
-                        counts["not_single"] += 1
-                except Exception as e:  # per-video fault isolation (ref :232-236)
-                    ledger.record(video, "errors", str(e))
-                    counts["errors"] += 1
+                        kp_dir = os.path.join(kp_out_root, action, stem)
+                        os.makedirs(kp_dir, exist_ok=True)
+                        np.save(
+                            os.path.join(kp_dir, "keypoints.npy"),
+                            rows.astype(np.float32),
+                        )
+                    ledger.record(video, "single")
+                    counts["single"] += 1
+                else:
+                    ledger.record(video, "not_single")
+                    counts["not_single"] += 1
+
+            if pool is not None and stream_group > 1:
+                # cross-video streamed batches, next group decoding ahead
+                g = stream_group
+                chunks = [pending[lo : lo + g] for lo in range(0, len(pending), g)]
+                futures = {}
+
+                def submit(chunk):
+                    for v in chunk:
+                        futures[v] = pool.submit(
+                            load_and_upload, os.path.join(action_dir, v)
+                        )
+
+                if chunks:
+                    submit(chunks[0])
+                for gi, chunk in enumerate(chunks):
+                    if gi + 1 < len(chunks):
+                        submit(chunks[gi + 1])
+                    items = []
+                    for v in chunk:
+                        try:
+                            items.append((v, futures.pop(v).result()))
+                        except Exception as e:  # decode fault, per video
+                            ledger.record(v, "errors", str(e))
+                            counts["errors"] += 1
+                    if not items:
+                        continue
+                    try:
+                        mesh_by, kp_by = self.process_videos_streamed(
+                            items, with_keypoints=wk
+                        )
+                        for v, _ in items:
+                            try:
+                                save_and_record(v, mesh_by[v], kp_by[v])
+                            except Exception as e:
+                                ledger.record(v, "errors", str(e))
+                                counts["errors"] += 1
+                    except Exception:
+                        # streamed batch failed: per-video fallback keeps the
+                        # reference's fault isolation (ref :232-236)
+                        for v, fd in items:
+                            try:
+                                mesh, kp = self.process_video_full(
+                                    None, with_keypoints=wk, frames_dev=fd
+                                )
+                                save_and_record(v, mesh, kp)
+                            except Exception as e:
+                                ledger.record(v, "errors", str(e))
+                                counts["errors"] += 1
+                continue_per_video = False
+            else:
+                continue_per_video = True
+
+            if continue_per_video:
+                futures = {}
+                if pool is not None:
+                    for video in pending[:prefetch]:
+                        futures[video] = pool.submit(
+                            load_and_upload, os.path.join(action_dir, video)
+                        )
+                for i, video in enumerate(pending):
+                    try:
+                        frames = frames_dev = None
+                        if pool is not None:
+                            for nxt in pending[i + 1 : i + 1 + prefetch]:
+                                if nxt not in futures:
+                                    futures[nxt] = pool.submit(
+                                        load_and_upload,
+                                        os.path.join(action_dir, nxt),
+                                    )
+                            frames_dev = futures.pop(video).result()
+                        else:
+                            frames = loader(os.path.join(action_dir, video))
+                        mesh, kp = self.process_video_full(
+                            frames, with_keypoints=wk, frames_dev=frames_dev
+                        )
+                        save_and_record(video, mesh, kp)
+                    except Exception as e:  # per-video fault isolation
+                        ledger.record(video, "errors", str(e))
+                        counts["errors"] += 1
         if pool is not None:
             pool.shutdown(wait=True)
         return counts
