@@ -92,10 +92,26 @@ def _block_kernel_high(
         xp[:, :pad, :] = jnp.zeros((BW, pad, C), src.dtype)
         xp[:, pad : pad + t_len, :] = src
         xp[:, pad + t_len :, :] = jnp.zeros((BW, pad, C), src.dtype)
+        # split the padded activations into bf16 (hi, lo) ONCE per conv —
+        # the tap loop then slices the split values (the per-dot3 split
+        # would redo the subtract+casts 5x over the same rows)
+        xpv = xp[...]
+        a_hi = xpv.astype(jnp.bfloat16)
+        a_lo = (xpv - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        d = lambda u, v: jax.lax.dot_general(
+            u, v, dimension_numbers=dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
         acc = None
         for j in range(_K):
-            sl = xp[:, j * dilation : j * dilation + t_len, :]
-            t = _dot3(sl.reshape(BW * t_len, C), wh_ref[j], wl_ref[j])
+            hi = a_hi[:, j * dilation : j * dilation + t_len, :].reshape(
+                BW * t_len, C
+            )
+            lo = a_lo[:, j * dilation : j * dilation + t_len, :].reshape(
+                BW * t_len, C
+            )
+            t = d(hi, wh_ref[j]) + d(hi, wl_ref[j]) + d(lo, wh_ref[j])
             acc = t if acc is None else acc + t
         return acc.reshape(BW, t_len, C)
 
