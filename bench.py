@@ -121,12 +121,11 @@ def main() -> None:
         else "module"
     )
     encoder_impl = os.environ.get("BENCH_ENCODER", default_encoder)
-    if encoder_impl in ("kernel", "chain", "chain2"):
+    if encoder_impl in ("kernel", "chain", "chain2", "stacked"):
         from video_gen_evals_tpu.models.fused_apply import block_kernel_forward
 
-        fusion = {"chain": "chain", "chain2": "chain2"}.get(
-            encoder_impl, "stage"
-        )
+        fusion = {"chain": "chain", "chain2": "chain2",
+                  "stacked": "stacked"}.get(encoder_impl, "stage")
 
         def forward(params, w):
             seq, frames_emb, _ = block_kernel_forward(

@@ -91,3 +91,25 @@ def test_chain_kernel_matches_stage_kernels(rng):
         x, w1s, w2s, gss, gbs, block_windows=4, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+
+
+def test_stacked_fusion_matches_stage(rng):
+    """stage_fusion='stacked' (all chains, grid-(chain, block) kernel) is
+    bit-identical to the per-chain stage kernels on the full forward."""
+    from video_gen_evals_tpu.models.fused_apply import block_kernel_forward
+
+    dims_raw = {"vit": 16, "global": 9, "pose": 18, "beta": 10, "kp2d": 12}
+    dims_diff = {"vit": 16, "global": 3, "pose": 6, "beta": 10, "kp2d": 12}
+    cfg = EncoderConfig.create(
+        dims_raw, dims_diff, d_model=128, time_layers=1, time_heads=4
+    )
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=16)
+    x = jnp.asarray(rng.normal(size=(8, 16, cfg.input_dim)).astype(np.float32))
+    a = block_kernel_forward(cfg, params, x, block_windows=4,
+                             precision="high", interpret=True,
+                             stage_fusion="stage")
+    b = block_kernel_forward(cfg, params, x, block_windows=4,
+                             precision="high", interpret=True,
+                             stage_fusion="stacked")
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))

@@ -211,6 +211,10 @@ def block_kernel_forward(
         if precision != "high":
             raise ValueError("chain fusion supports precision='high' only")
         from ..ops.chain_kernel import fused_temporal_chain
+    if stage_fusion == "stacked":
+        if precision != "high":
+            raise ValueError("stacked fusion supports precision='high' only")
+        from ..ops.conv_kernel import fused_temporal_block_stacked
     B, Tlen, D = x.shape
     if D != cfg.input_dim:
         raise ValueError(f"expected input dim {cfg.input_dim}, got {D}")
@@ -261,22 +265,70 @@ def block_kernel_forward(
             )
         return y @ p["proj"]["kernel"]
 
-    per_mod = []
-    r_off = d_off = 0
-    for m, rd in cfg.dims_map_raw:
-        s = chain(params[f"state_enc_{m}"], raw[:, :, r_off : r_off + rd])
-        r_off += rd
-        dd = diff_dims[m]
-        if cfg.has_diff and dd > 0:
-            s = s + chain(
-                params[f"motion_enc_{m}"], diff[:, :, d_off : d_off + dd]
+    if stage_fusion == "stacked":
+        # ALL chains' stages in 4 launches: stems per chain (ragged input
+        # dims), stack, grid-(chain, block) kernel, per-chain proj, then
+        # per-modality raw+diff sum (same bookkeeping as fused_forward)
+        chains: T.List[jnp.ndarray] = []
+        chain_params: T.List[T.Any] = []
+        slot_of_chain: T.List[int] = []
+        r_off = d_off = 0
+        for slot, (m, rd) in enumerate(cfg.dims_map_raw):
+            p = params[f"state_enc_{m}"]
+            chains.append(_conv(raw[:, :, r_off : r_off + rd], p["stem"]["kernel"]))
+            chain_params.append(p)
+            slot_of_chain.append(slot)
+            r_off += rd
+            dd = diff_dims[m]
+            if cfg.has_diff and dd > 0:
+                p = params[f"motion_enc_{m}"]
+                chains.append(
+                    _conv(diff[:, :, d_off : d_off + dd], p["stem"]["kernel"])
+                )
+                chain_params.append(p)
+                slot_of_chain.append(slot)
+            d_off += dd
+        y = jnp.stack(chains)                            # [S, B, T, dm]
+        S = y.shape[0]
+        for i, dil in enumerate(_DILATIONS):
+            y = fused_temporal_block_stacked(
+                y,
+                jnp.stack([p[f"block{i}"]["conv1"]["kernel"] for p in chain_params]),
+                jnp.stack([p[f"block{i}"]["conv2"]["kernel"] for p in chain_params]),
+                jnp.stack([p[f"block{i}"]["norm"]["scale"] for p in chain_params]),
+                jnp.stack([p[f"block{i}"]["norm"]["bias"] for p in chain_params]),
+                dilation=dil,
+                block_windows=block_windows,
+                interpret=interpret,
             )
-        d_off += dd
-        mu = jnp.mean(s, axis=-1, keepdims=True)
-        var = jnp.var(s, axis=-1, keepdims=True)
-        per_mod.append(((s - mu) / jnp.sqrt(var + 1e-5))[:, :, None, :])
+        proj = jnp.stack([p["proj"]["kernel"] for p in chain_params])
+        y = jnp.einsum("sbtc,scd->sbtd", y, proj)
+        M = len(cfg.modalities)
+        summed = jax.ops.segment_sum(
+            y.reshape(S, -1), jnp.asarray(slot_of_chain), num_segments=M
+        ).reshape(M, B, Tlen, d_model)
+        mu = jnp.mean(summed, axis=-1, keepdims=True)
+        var = jnp.var(summed, axis=-1, keepdims=True)
+        m_tokens = jnp.transpose(
+            (summed - mu) / jnp.sqrt(var + 1e-5), (1, 2, 0, 3)
+        )                                                # [B, T, M, dm]
+    else:
+        per_mod = []
+        r_off = d_off = 0
+        for m, rd in cfg.dims_map_raw:
+            s = chain(params[f"state_enc_{m}"], raw[:, :, r_off : r_off + rd])
+            r_off += rd
+            dd = diff_dims[m]
+            if cfg.has_diff and dd > 0:
+                s = s + chain(
+                    params[f"motion_enc_{m}"], diff[:, :, d_off : d_off + dd]
+                )
+            d_off += dd
+            mu = jnp.mean(s, axis=-1, keepdims=True)
+            var = jnp.var(s, axis=-1, keepdims=True)
+            per_mod.append(((s - mu) / jnp.sqrt(var + 1e-5))[:, :, None, :])
 
-    m_tokens = jnp.concatenate(per_mod, axis=2)          # [B, T, M, dm]
+        m_tokens = jnp.concatenate(per_mod, axis=2)      # [B, T, M, dm]
 
     f = params["fusion"]
     kv = _layer_norm(m_tokens, f["kv_ln"]["scale"], f["kv_ln"]["bias"])

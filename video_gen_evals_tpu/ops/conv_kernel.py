@@ -150,6 +150,94 @@ def _block_kernel_f32(
     out_ref[...] = hn * gs_ref[0][None, None, :] + gb_ref[0][None, None, :]
 
 
+def _block_kernel_high_stacked(
+    x_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, gs_ref, gb_ref, out_ref, xp,
+    *, dilation: int, t_len: int,
+):
+    """Stacked-chain variant: leading singleton chain axis on every block
+    (grid = (chains, window blocks), per-chain weights streamed by the
+    index_map). Same math as :func:`_block_kernel_high`."""
+    _, BW, _, C = x_ref.shape
+    pad = dilation * (_K - 1) // 2
+    x = x_ref[0]
+
+    def conv5(src, wh_ref, wl_ref):
+        xp[:, :pad, :] = jnp.zeros((BW, pad, C), src.dtype)
+        xp[:, pad : pad + t_len, :] = src
+        xp[:, pad + t_len :, :] = jnp.zeros((BW, pad, C), src.dtype)
+        xpv = xp[...]
+        a_hi = xpv.astype(jnp.bfloat16)
+        a_lo = (xpv - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        d = lambda u, v: jax.lax.dot_general(
+            u, v, dimension_numbers=dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = None
+        for j in range(_K):
+            hi = a_hi[:, j * dilation : j * dilation + t_len, :].reshape(
+                BW * t_len, C
+            )
+            lo = a_lo[:, j * dilation : j * dilation + t_len, :].reshape(
+                BW * t_len, C
+            )
+            t = d(hi, wh_ref[0, j]) + d(hi, wl_ref[0, j]) + d(lo, wh_ref[0, j])
+            acc = t if acc is None else acc + t
+        return acc.reshape(BW, t_len, C)
+
+    h = _gelu(conv5(x, w1h_ref, w1l_ref))
+    h = _gelu(conv5(h, w2h_ref, w2l_ref) + x)
+    mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
+    var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
+    hn = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+    out_ref[0] = hn * gs_ref[0, 0][None, None, :] + gb_ref[0, 0][None, None, :]
+
+
+def fused_temporal_block_stacked(
+    xs: jnp.ndarray,         # [S, B, T, C] f32 stacked chain activations
+    w1s: jnp.ndarray,        # [S, K, C, C]
+    w2s: jnp.ndarray,        # [S, K, C, C]
+    gn_scales: jnp.ndarray,  # [S, C]
+    gn_biases: jnp.ndarray,  # [S, C]
+    dilation: int,
+    block_windows: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One launch runs a residual stage for ALL chains: grid (S, B/bw) with
+    the chain id indexing the weight blocks. Removes the per-chain launch
+    overhead (10 chains x 4 stages = 40 launches -> 4) while keeping each
+    program identical to the per-chain kernel. Precision "high" (bf16_3x).
+    """
+    S, B, t_len, C = xs.shape
+    if B % block_windows != 0:
+        raise ValueError(f"batch {B} not divisible by block {block_windows}")
+    pad = dilation * (_K - 1) // 2
+
+    act = pl.BlockSpec((1, block_windows, t_len, C), lambda s, i: (s, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wsp = pl.BlockSpec((1, _K, C, C), lambda s, i: (s, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    gsp = pl.BlockSpec((1, 1, C), lambda s, i: (s, 0, 0),
+                       memory_space=pltpu.VMEM)
+    w1h, w1l = split_bf16(w1s)
+    w2h, w2l = split_bf16(w2s)
+    kernel = functools.partial(
+        _block_kernel_high_stacked, dilation=dilation, t_len=t_len
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(S, B // block_windows),
+        in_specs=[act, wsp, wsp, wsp, wsp, gsp, gsp],
+        out_specs=act,
+        out_shape=jax.ShapeDtypeStruct((S, B, t_len, C), xs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_windows, t_len + 2 * pad, C), xs.dtype)
+        ],
+        interpret=interpret,
+    )(xs, w1h, w1l, w2h, w2l,
+      gn_scales.reshape(S, 1, C), gn_biases.reshape(S, 1, C))
+
+
 def fused_temporal_block(
     x: jnp.ndarray,         # [B, T, C] f32 chain activations
     w1: jnp.ndarray,        # [K, C, C] f32
