@@ -94,12 +94,19 @@ def _pad_into(xp, src, pad: int, t_len: int):
     xp[:, pad + t_len :, :] = jnp.zeros((BW, pad, C), src.dtype)
 
 
-def _conv5(xp, w_ref, dot, dilation: int, t_len: int):
-    """Dilated k=5 conv over the padded scratch as 5 shifted matmuls."""
+def _conv5(xp, w_ref, dot, dilation: int, t_len: int,
+           precision: str = "highest"):
+    """Dilated k=5 conv over the padded scratch as 5 shifted matmuls.
+
+    In "default" mode the padded buffer is cast to bf16 ONCE and the tap
+    loop slices the cast value (the per-dot cast would redo it 5x)."""
     BW, _, C = xp.shape
+    src = xp[...]
+    if precision != "highest":
+        src = src.astype(jnp.bfloat16)
     acc = None
     for j in range(_K):
-        sl = xp[:, j * dilation : j * dilation + t_len, :]
+        sl = src[:, j * dilation : j * dilation + t_len, :]
         t = dot(sl.reshape(BW * t_len, C), w_ref[j])
         acc = t if acc is None else acc + t
     return acc.reshape(BW, t_len, C)
@@ -119,11 +126,11 @@ def _fwd_kernel(x_ref, w1_ref, w2_ref, gs_ref, gb_ref, *rest,
     x = x_ref[...]
 
     _pad_into(xp, x, pad, t_len)
-    a1 = _gelu(_conv5(xp, w1_ref, dot, dilation, t_len))
+    a1 = _gelu(_conv5(xp, w1_ref, dot, dilation, t_len, precision))
     if has_mask:
         a1 = a1 * m_ref[...]
     _pad_into(xp, a1, pad, t_len)
-    h = _gelu(_conv5(xp, w2_ref, dot, dilation, t_len) + x)
+    h = _gelu(_conv5(xp, w2_ref, dot, dilation, t_len, precision) + x)
     mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
     var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
     hn = (h - mu) * jax.lax.rsqrt(var + 1e-5)
@@ -153,12 +160,12 @@ def _bwd_kernel(
 
     # --- rematerialised forward ---
     _pad_into(xp, x, pad, t_len)
-    h1 = _conv5(xp, w1_ref, dot, dilation, t_len)
+    h1 = _conv5(xp, w1_ref, dot, dilation, t_len, precision)
     d1 = _gelu(h1)
     if has_mask:
         d1 = d1 * m_ref[...]
     _pad_into(xp, d1, pad, t_len)          # xp now holds padded d1
-    r = _conv5(xp, w2_ref, dot, dilation, t_len) + x
+    r = _conv5(xp, w2_ref, dot, dilation, t_len, precision) + x
     h = _gelu(r)
     mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
     var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
@@ -186,26 +193,38 @@ def _bwd_kernel(
     dr = rstd * (dhn - m1 - hn * m2) * _gelu_grad(r)
 
     # --- conv2 backward: dw2 (xp still = padded d1), then dd1 ---
+    d1p = xp[...]
+    if precision != "highest":
+        d1p = d1p.astype(jnp.bfloat16)
+        dr_c = dr.astype(jnp.bfloat16)
+    else:
+        dr_c = dr
     for j in range(_K):
-        sl = xp[:, j * dilation : j * dilation + t_len, :]
+        sl = d1p[:, j * dilation : j * dilation + t_len, :]
         dw2_ref[j] += dot_tn(
-            sl.reshape(BW * t_len, C), dr.reshape(BW * t_len, C)
+            sl.reshape(BW * t_len, C), dr_c.reshape(BW * t_len, C)
         )
     _pad_into(xp, dr, pad, t_len)          # xp now holds padded dh2
-    dd1 = _conv5(xp, w2t_ref, dot, dilation, t_len)
+    dd1 = _conv5(xp, w2t_ref, dot, dilation, t_len, precision)
     if has_mask:
         dd1 = dd1 * m_ref[...]
     dh1 = dd1 * _gelu_grad(h1)
 
     # --- conv1 backward: dw1 needs padded x again, then dx ---
     _pad_into(xp, x, pad, t_len)
+    x_p = xp[...]
+    if precision != "highest":
+        x_p = x_p.astype(jnp.bfloat16)
+        dh1_c = dh1.astype(jnp.bfloat16)
+    else:
+        dh1_c = dh1
     for j in range(_K):
-        sl = xp[:, j * dilation : j * dilation + t_len, :]
+        sl = x_p[:, j * dilation : j * dilation + t_len, :]
         dw1_ref[j] += dot_tn(
-            sl.reshape(BW * t_len, C), dh1.reshape(BW * t_len, C)
+            sl.reshape(BW * t_len, C), dh1_c.reshape(BW * t_len, C)
         )
     _pad_into(xp, dh1, pad, t_len)
-    dx_ref[...] = dr + _conv5(xp, w1t_ref, dot, dilation, t_len)
+    dx_ref[...] = dr + _conv5(xp, w1t_ref, dot, dilation, t_len, precision)
 
 
 # ---------------------------------------------------------------- plumbing
