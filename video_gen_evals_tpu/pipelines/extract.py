@@ -674,6 +674,11 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                    help="reproduce the reference's keypoint frame-dropping "
                         "(mesh/kp misalignment quirk) — see core.config.BugCompat")
     p.add_argument("--no-bug-compat", dest="bug_compat", action="store_false")
+    p.add_argument("--stream-group", type=int, default=8,
+                   help="videos per cross-video streamed device batch "
+                        "(1 = per-video path)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="decode+upload threads running ahead (0 = off)")
     args = p.parse_args(argv)
 
     ex = Extractor(ExtractorConfig(kp_bug_compat=args.bug_compat))
@@ -683,6 +688,8 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         args.log_dir,
         kp_out_root=args.out_kps,
         actions=[args.action] if args.action else None,
+        prefetch=args.prefetch,
+        stream_group=args.stream_group,
     )
     print(counts)
 
