@@ -137,3 +137,31 @@ def test_streamed_extraction_matches_per_video(rng):
         np.testing.assert_allclose(
             kp_by[name]["kp120"], kp_ref["kp120"], atol=1e-4
         )
+
+
+def test_streamed_extraction_rejects_per_video(rng):
+    """A video failing the single-person ratio test inside a streamed batch
+    maps to (None, None) without affecting its batchmates."""
+    import jax.numpy as jnp_
+
+    extractor = tiny_extractor()
+
+    def detect_by_brightness(params, frames_f32, frame_wh):
+        B = frames_f32.shape[0]
+        boxes = jnp_.tile(jnp_.asarray([[8.0, 8.0, 32.0, 40.0]], jnp_.float32),
+                          (B, 1))
+        single = jnp_.mean(frames_f32, axis=(1, 2, 3)) > 1.0
+        return boxes, single
+
+    extractor._detect = detect_by_brightness
+    good = rng.integers(50, 255, size=(10, 48, 40, 3)).astype(np.uint8)
+    dark = np.zeros((10, 48, 40, 3), np.uint8)   # every frame fails
+    items = [("good", good), ("dark", dark), ("good2", good.copy())]
+    mesh_by, kp_by = extractor.process_videos_streamed(
+        items, with_keypoints=True
+    )
+    assert mesh_by["dark"] is None and kp_by["dark"] is None
+    for name in ("good", "good2"):
+        assert mesh_by[name] is not None
+        assert mesh_by[name]["vit"].shape[0] == 10
+        assert kp_by[name] is not None
