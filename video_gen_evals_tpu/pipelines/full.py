@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..data.features import (
     FeatureBank,
-    ModalityPaths,
     compute_modality_diffs,
     _normalize,
     _ROW_ALIGN,
