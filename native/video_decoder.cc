@@ -68,9 +68,10 @@ void decode_file(const char* path, int64_t max_frames, VideoStack* out) {
   AVCodecContext* dec = nullptr;
   SwsContext* sws = nullptr;
   AVFrame* frame = av_frame_alloc();
-  AVFrame* rgb = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();
   int stream_idx = -1;
+  // sws context cache key: recreate on any in-stream parameter change
+  int sws_fmt = AV_PIX_FMT_NONE, sws_w = 0, sws_h = 0;
 
   auto fail = [&](const std::string& msg) { out->error = msg; };
 
@@ -112,20 +113,27 @@ void decode_file(const char* path, int64_t max_frames, VideoStack* out) {
     auto emit = [&](AVFrame* f) -> bool {
       if (max_frames > 0 && out->t >= max_frames) return true;
       if (!grow(out, (size_t)out->t + 1)) return false;
-      if (!sws) {
-        sws = sws_getContext(dec->width, dec->height,
-                             (AVPixelFormat)f->format, dec->width, dec->height,
-                             AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
-                             nullptr);
+      // In-stream parameter changes (pixel format or resolution) invalidate
+      // the cached sws context; convert from the frame's OWN geometry into
+      // the fixed output geometry so the stack shape stays [T, H, W, 3].
+      if (!sws || f->format != sws_fmt || f->width != sws_w ||
+          f->height != sws_h) {
+        if (sws) sws_freeContext(sws);
+        sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format,
+                             (int)out->w, (int)out->h, AV_PIX_FMT_RGB24,
+                             SWS_BILINEAR, nullptr, nullptr, nullptr);
         if (!sws) {
           out->error = "sws_getContext failed";
           return false;
         }
+        sws_fmt = f->format;
+        sws_w = f->width;
+        sws_h = f->height;
       }
       uint8_t* dst_data[4] = {out->data + (size_t)out->t * frame_bytes, nullptr,
                               nullptr, nullptr};
       int dst_linesize[4] = {(int)(out->w * 3), 0, 0, 0};
-      sws_scale(sws, f->data, f->linesize, 0, dec->height, dst_data,
+      sws_scale(sws, f->data, f->linesize, 0, f->height, dst_data,
                 dst_linesize);
       out->t++;
       return true;
@@ -159,7 +167,6 @@ void decode_file(const char* path, int64_t max_frames, VideoStack* out) {
 
   if (sws) sws_freeContext(sws);
   av_packet_free(&pkt);
-  av_frame_free(&rgb);
   av_frame_free(&frame);
   if (dec) avcodec_free_context(&dec);
   if (fmt) avformat_close_input(&fmt);

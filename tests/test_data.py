@@ -276,3 +276,51 @@ def test_bank_cache_roundtrip_and_stale_rebuild(pipeline, tmp_path):
     assert b3.names == [it.name for it in sub]
     b4 = build_feature_bank_cached(sub, paths, stats, cache_path=cache)
     np.testing.assert_array_equal(b4.bank, b3.bank)
+
+
+def test_bank_cache_fingerprint_invalidation(pipeline, tmp_path):
+    """Changed stats / min_rows / touched source files must miss the cache
+    (advisor round-2: name equality alone silently reused stale banks)."""
+    import dataclasses as dc
+
+    from video_gen_evals_tpu.data import build_feature_bank_cached
+    from video_gen_evals_tpu.data.features import bank_fingerprint
+
+    manifest, paths, stats, _bank = pipeline
+    items = manifest.items
+    cache = str(tmp_path / "bank.npz")
+    b1 = build_feature_bank_cached(items, paths, stats, cache_path=cache)
+
+    # different stats -> different fingerprint and a rebuilt (different) bank
+    stats2 = dc.replace(
+        stats,
+        mean_raw={m: v + 1.0 for m, v in stats.mean_raw.items()},
+    )
+    assert bank_fingerprint(items, paths, stats2) != bank_fingerprint(
+        items, paths, stats
+    )
+    b2 = build_feature_bank_cached(items, paths, stats2, cache_path=cache)
+    assert not np.array_equal(b2.bank, b1.bank)
+
+    # different min_rows -> different fingerprint
+    assert bank_fingerprint(items, paths, stats, min_rows=48) != bank_fingerprint(
+        items, paths, stats, min_rows=40
+    )
+
+    # touching a source file (newer mtime, same content) -> different fingerprint
+    fp_before = bank_fingerprint(items, paths, stats)
+    st = os.stat(items[0].path)
+    os.utime(items[0].path, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000))
+    assert bank_fingerprint(items, paths, stats) != fp_before
+
+    # a pre-fingerprint cache (no stored fingerprint) is rebuilt, not trusted
+    from video_gen_evals_tpu.data.features import (
+        load_bank_fingerprint,
+        save_feature_bank,
+    )
+
+    save_feature_bank(b1, cache)  # no fingerprint arg
+    assert load_bank_fingerprint(cache) is None
+    b3 = build_feature_bank_cached(items, paths, stats, cache_path=cache)
+    np.testing.assert_array_equal(b3.bank, b1.bank)
+    assert load_bank_fingerprint(cache) is not None

@@ -385,10 +385,70 @@ def gather_windows_sliced(
     return rows.at[:, 0, one_pass_raw:].set(z0_diff[None, :].astype(rows.dtype))
 
 
-def save_feature_bank(bank: FeatureBank, path: str) -> None:
+def bank_fingerprint(
+    items: T.Sequence,
+    paths: ModalityPaths,
+    stats: "ModalityStats",
+    modalities: T.Optional[T.Sequence[str]] = None,
+    min_rows: int = 40,
+) -> str:
+    """Hash of everything a cached bank's contents depend on.
+
+    Covers the normalization stats (mean/std, raw+diff, per modality), the
+    modality subset and order, ``min_rows`` (clip_len changes), the side-file
+    configuration, and each source file's identity (path, size, mtime) for the
+    mesh npz and any existing keypoint/clip/dino side files. A cache built
+    under any different configuration therefore misses and is rebuilt — name
+    equality alone silently reused stale normalizations (advisor finding,
+    round 2)."""
+    import hashlib
+
+    mods = list(modalities) if modalities is not None else stats.modalities
+    h = hashlib.sha256()
+
+    def add(s: str) -> None:
+        h.update(s.encode())
+        h.update(b"\x00")
+
+    add("v1")
+    add(",".join(mods))
+    add(str(int(min_rows)))
+    add(f"{paths.keypoint_dir}|{paths.clip_dir}|{paths.dino_dir}|{paths.layout}")
+    for m in mods:
+        for arr in (
+            stats.mean_raw[m], stats.std_raw[m], stats.mean_diff[m], stats.std_diff[m]
+        ):
+            h.update(np.ascontiguousarray(arr, dtype=np.float64).tobytes())
+
+    def add_file(p: str) -> None:
+        try:
+            st = os.stat(p)
+            add(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            add(f"{p}|missing")
+
+    for it in items:
+        add_file(it.path)
+        vid_stem = os.path.splitext(os.path.basename(it.path))[0]
+        for base, fname in (
+            (paths.keypoint_dir, "keypoints.npy"),
+            (paths.clip_dir, "clip_embeddings.npz"),
+            (paths.dino_dir, "dino_embeddings.npz"),
+        ):
+            if base is not None:
+                add_file(paths.resolve(base, it.cls, vid_stem, fname))
+    return h.hexdigest()
+
+
+def save_feature_bank(
+    bank: FeatureBank, path: str, fingerprint: T.Optional[str] = None
+) -> None:
     """Cache a built bank to disk (one compressed npz) — the rebuild's
     equivalent of the reference's ``window_features.pt`` cache, but at the
     reusable bank level (windows derive from it for any stride)."""
+    extra = {}
+    if fingerprint is not None:
+        extra["fingerprint"] = np.array(fingerprint)
     np.savez_compressed(
         path,
         bank=bank.bank,
@@ -398,6 +458,7 @@ def save_feature_bank(bank: FeatureBank, path: str) -> None:
         one_pass_raw=np.int64(bank.one_pass_raw),
         classes=np.array(bank.classes),
         names=np.array(bank.names),
+        **extra,
     )
 
 
@@ -420,6 +481,18 @@ def load_feature_bank(path: str) -> FeatureBank:
     )
 
 
+def load_bank_fingerprint(path: str) -> T.Optional[str]:
+    """Read just the ``fingerprint`` string from a cached bank npz (cheap:
+    the member is a few dozen bytes). ``None`` for pre-fingerprint caches."""
+    try:
+        with np.load(path, allow_pickle=False) as f:
+            if "fingerprint" in f.files:
+                return str(f["fingerprint"])
+    except Exception:
+        pass
+    return None
+
+
 def build_feature_bank_cached(
     items: T.Sequence,
     paths: ModalityPaths,
@@ -430,23 +503,27 @@ def build_feature_bank_cached(
 ) -> FeatureBank:
     """``build_feature_bank`` with an on-disk cache.
 
-    When ``cache_path`` exists and its video names match ``items`` (same
-    order), the bank loads through the native npz reader and the whole
-    normalize/delta pass is skipped — the serve-path analogue of the
+    When ``cache_path`` exists, its stored fingerprint matches the current
+    configuration (stats, modalities, min_rows, side-file config, source-file
+    sizes/mtimes — :func:`bank_fingerprint`), and its video names match
+    ``items`` (same order), the bank loads through the native npz reader and
+    the whole normalize/delta pass is skipped — the serve-path analogue of the
     reference's ``window_features.pt`` reuse (ref ``eval.py:202-205``), but
-    stride/clip-agnostic. A stale or mismatched cache is rebuilt and
-    overwritten.
+    stride/clip-agnostic. A stale, mismatched, or pre-fingerprint cache is
+    rebuilt and overwritten.
     """
     names = [getattr(it, "name") for it in items]
+    fp = bank_fingerprint(items, paths, stats, modalities, min_rows=min_rows)
     if cache_path and os.path.exists(cache_path):
         try:
-            bank = load_feature_bank(cache_path)
-            if bank.names == names:
-                return bank
+            if load_bank_fingerprint(cache_path) == fp:
+                bank = load_feature_bank(cache_path)
+                if bank.names == names:
+                    return bank
         except Exception:
             pass  # unreadable/stale cache: rebuild below
     bank = build_feature_bank(items, paths, stats, modalities, min_rows=min_rows)
     if cache_path:
         os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
-        save_feature_bank(bank, cache_path)
+        save_feature_bank(bank, cache_path, fingerprint=fp)
     return bank

@@ -78,7 +78,10 @@ def crop_resize_matmul(
     out-of-range behavior (below-range samples interpolate rows 0/1 with the
     raw fractional part). XLA gathers run element-at-a-time on TPU — the
     matmul form is the fast path for the extraction crops (25M gathers per
-    32-frame chunk otherwise)."""
+    32-frame chunk otherwise). Both contractions are pinned to
+    ``Precision.HIGHEST`` so the TPU MXU runs them as f32-accurate (bf16_3x)
+    dots — at DEFAULT precision single-pass bf16 would drift up to ~0.5 in
+    0-255 pixel units from the f32 gather path."""
     H, W, C = img.shape
     oh, ow = out_hw
 
@@ -100,8 +103,9 @@ def crop_resize_matmul(
     xs = x0 + (jnp.arange(ow, dtype=img.dtype) + 0.5) * (w / ow) - 0.5
     wy = weights(ys, H)                                   # [oh, H]
     wx = weights(xs, W)                                   # [ow, W]
-    t = (wy @ img.reshape(H, W * C)).reshape(oh, W, C)
-    return jnp.einsum("ywc,xw->yxc", t, wx)
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.dot(wy, img.reshape(H, W * C), precision=hi).reshape(oh, W, C)
+    return jnp.einsum("ywc,xw->yxc", t, wx, precision=hi)
 
 
 def batched_person_crops(

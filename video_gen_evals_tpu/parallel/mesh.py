@@ -28,9 +28,24 @@ def make_mesh(
     devices: T.Optional[T.Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None:
         n_data = len(devices) // n_model
-    use = devices[: n_data * n_model]
+    if n_data < 1:
+        raise ValueError(
+            f"need at least n_model={n_model} devices to form a mesh, "
+            f"have {len(devices)}"
+        )
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) needs {need} devices, "
+            f"have {len(devices)} — on CPU, set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N to get "
+            "virtual devices"
+        )
+    use = devices[:need]
     arr = np.array(use).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 

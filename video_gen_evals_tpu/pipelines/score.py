@@ -93,6 +93,12 @@ class WindowEncoder:
         # (BENCH_NOTES round-2). "chain_kernel" additionally fuses all 4
         # stages per chain into one launch (ops/chain_kernel.py).
         # "module" forces the flax forward.
+        if encoder_impl in ("block_kernel", "chain_kernel") and mesh is not None:
+            raise ValueError(
+                f"encoder_impl='{encoder_impl}' cannot be combined with a mesh: "
+                "the Pallas kernels are single-chip; use encoder_impl='auto' "
+                "(sharded sweeps take the module forward) or drop the mesh"
+            )
         self._use_block_kernel = (
             encoder_impl in ("auto", "block_kernel", "chain_kernel")
             and mesh is None
@@ -103,6 +109,16 @@ class WindowEncoder:
             encoder_impl in ("block_kernel", "chain_kernel")
             and jax.default_backend() != "tpu"
         )
+        if (
+            encoder_impl in ("block_kernel", "chain_kernel")
+            and self._use_block_kernel
+            and batch_size % 4 != 0
+        ):
+            raise ValueError(
+                f"encoder_impl='{encoder_impl}' needs batch_size divisible by "
+                f"4 (got {batch_size}) — the fused kernel blocks windows in "
+                "groups of 32/8/4"
+            )
         self._stage_fusion = "chain" if encoder_impl == "chain_kernel" else "stage"
         # "auto": burst Pallas DMA gather on single-chip TPU when the batch
         # and starts satisfy its alignment contract (checked per sweep in

@@ -59,7 +59,10 @@ def load_all_frames(video_path: str, bgr2rgb: bool = True) -> np.ndarray:
 
     if native_available():
         try:
-            return decode_video(video_path)
+            frames = decode_video(video_path)  # native decoder emits RGB
+            if not bgr2rgb:
+                frames = frames[..., ::-1]  # honor the documented BGR contract
+            return frames
         except IOError:
             pass  # fall through to OpenCV (e.g. exotic container)
     try:
