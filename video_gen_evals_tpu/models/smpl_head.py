@@ -45,14 +45,26 @@ class SMPLHeadConfig:
     dim_head: int = 64
     mlp_dim: int = 1024
     num_body_joints: int = 23       # SMPL body joints (pose output [23,3,3])
-    token_num: int = 20             # VQ tokens for body pose (cfg TOKEN_NUM)
+    # --- TokenClassfier geometry (ref token_head.py:160-164 ctor args; the
+    # tokenizer decoder follows the public PCT 'parts' layout, see
+    # TokenClassifier). Real checkpoints carry their own geometry — derive a
+    # matching config with classifier_config_from_state_dict().
+    token_num: int = 160            # VQ tokens for body pose (cfg TOKEN_NUM)
     token_class_num: int = 2048     # codebook size (cfg TOKEN_CLASS_NUM)
-    token_code_dim: int = 32        # codebook embedding dim
+    token_code_dim: int = 32        # codebook embedding dim (TOKEN_CODE_DIM)
+    dec_num_blocks: int = 1         # tokenizer-decoder MixerLayer count
+    dec_hidden_dim: int = 32        # tokenizer-decoder channel width
+    dec_token_inter_dim: int = 64   # token-mixing MLP inner width
+    dec_hidden_inter_dim: int = 64  # channel MLP inner width
     ief_iters: int = 1
 
     @property
     def npose(self) -> int:
         return 6 * (self.num_body_joints + 1)  # 144: grot + 21 body + 2 hands
+
+    @property
+    def n_parts(self) -> int:
+        return self.num_body_joints - 2  # 21 tokenized (non-hand) body joints
 
 
 class _SelfAttention(nn.Module):
@@ -146,10 +158,51 @@ class CrossAttentionDecoder(nn.Module):
         return x
 
 
+class _MixerLayer(nn.Module):
+    """Flax re-layout of PCT's ``MixerLayer`` (public, Geng et al. CVPR 2023
+    ``models/modules.py`` — the layer family TokenHMR's 'parts' tokenizer
+    decoder is built from): token-mixing MLP then channel MLP, with the
+    distinctive three-way residual ``out = x + y + z``. Exact GELU, torch
+    LayerNorm eps 1e-5, dropout 0 at inference."""
+
+    hidden_dim: int
+    hidden_inter_dim: int
+    token_dim: int
+    token_inter_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
+        y = jnp.swapaxes(y, 1, 2)                       # [B, C, J]
+        y = nn.Dense(self.token_inter_dim, name="token_fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(self.token_dim, name="token_fc2")(y)
+        y = jnp.swapaxes(y, 1, 2)                       # [B, J, C]
+        z = nn.LayerNorm(epsilon=1e-5, name="ln2")(x + y)
+        z = nn.Dense(self.hidden_inter_dim, name="channel_fc1")(z)
+        z = jax.nn.gelu(z, approximate=False)
+        z = nn.Dense(self.hidden_dim, name="channel_fc2")(z)
+        return x + y + z
+
+
 class TokenClassifier(nn.Module):
-    """Body-pose token classifier over a frozen VQ codebook: per-token class
-    logits -> (soft) codebook lookup -> decoder MLP -> 6d pose residuals
-    (ref ``token_head.py:217`` usage; upstream TokenHMR TokenClassfier)."""
+    """Body-pose token classifier over a frozen VQ tokenizer decoder
+    (upstream TokenHMR ``TokenClassfier``; ref ``token_head.py:160-164,217``).
+
+    Layout: a linear ``cls_head`` maps ``token_out [B, dim]`` to per-token
+    class logits ``[B, token_num, token_class_num]``; the softmax-expected
+    codebook embedding (soft lookup — PCT decodes the expectation under the
+    class distribution, not the argmax) feeds the frozen tokenizer *decoder*
+    in the public PCT 'parts' layout (``models/pct_tokenizer.py`` decode
+    path): ``decoder_token_mlp`` mixes token_num tokens down to the 21
+    non-hand body joints, ``decoder_start`` lifts codes to the decoder width,
+    ``dec_num_blocks`` MixerLayers, LayerNorm, and ``recover_embed`` reads
+    out 6d rotations per joint -> ``[B, 126]`` pose residuals.
+
+    The decoder structure is the published PCT layout; the single-linear
+    ``cls_head`` is the minimal reading of the classifier (validated against
+    a real checkpoint via scripts/activation_diff.py — conversion infers all
+    geometry from the state_dict and fails loudly on unrecognized keys)."""
 
     config: SMPLHeadConfig
 
@@ -167,11 +220,21 @@ class TokenClassifier(nn.Module):
             (cfg.token_class_num, cfg.token_code_dim),
         )
         codes = jnp.einsum("btc,cd->btd", probs, codebook)  # soft lookup
-        h = codes.reshape(B, cfg.token_num * cfg.token_code_dim)
-        h = nn.Dense(512, name="dec1")(h)
-        h = jax.nn.gelu(h, approximate=False)
-        body_6d = nn.Dense(6 * (cfg.num_body_joints - 2), name="dec2")(h)  # 21 joints
-        return body_6d, probs
+        x = jnp.swapaxes(codes, 1, 2)                       # [B, C, N]
+        x = nn.Dense(cfg.n_parts, name="decoder_token_mlp")(x)
+        x = jnp.swapaxes(x, 1, 2)                           # [B, J=21, C]
+        x = nn.Dense(cfg.dec_hidden_dim, name="decoder_start")(x)
+        for i in range(cfg.dec_num_blocks):
+            x = _MixerLayer(
+                cfg.dec_hidden_dim,
+                cfg.dec_hidden_inter_dim,
+                cfg.n_parts,
+                cfg.dec_token_inter_dim,
+                name=f"mixer_{i}",
+            )(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="decoder_ln")(x)
+        j6 = nn.Dense(6, name="recover_embed")(x)           # [B, 21, 6]
+        return j6.reshape(B, cfg.n_parts * 6), probs
 
 
 class SMPLTokenDecoderHead(nn.Module):
@@ -222,18 +285,148 @@ class SMPLTokenDecoderHead(nn.Module):
         }
 
 
+def _convert_decpose(
+    sub: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig
+) -> T.Dict[str, T.Any]:
+    """Map the TokenClassfier state_dict slice (keys relative to ``decpose.``)
+    onto the flax :class:`TokenClassifier` tree.
+
+    Recognizes the frozen PCT-layout tokenizer decoder regardless of its
+    nesting prefix (``tokenizer.decoder_start`` vs ``decoder_start`` etc.) by
+    key *suffix*: ``codebook``, ``decoder_token_mlp``, ``decoder_start``,
+    ``decoder.{i}.{layernorm1,MLP_token.ff.0,...}`` MixerLayers,
+    ``decoder_layer_norm``, ``recover_embed``. Whatever single linear
+    (weight [N*V, dim] + optional bias) remains is the classifier head. Any
+    leftover key is a layout mismatch and raises — a real checkpoint can
+    never be silently half-converted."""
+    out: T.Dict[str, T.Any] = {}
+    consumed: T.Set[str] = set()
+
+    def find(suffix: str) -> T.Optional[str]:
+        hits = [k for k in sub if k == suffix or k.endswith("." + suffix)]
+        if len(hits) > 1:
+            raise ValueError(f"decpose: ambiguous keys for '{suffix}': {hits}")
+        return hits[0] if hits else None
+
+    def dense(stem: str) -> T.Optional[T.Dict[str, np.ndarray]]:
+        wk = find(f"{stem}.weight")
+        if wk is None:
+            return None
+        consumed.add(wk)
+        d = {"kernel": np.transpose(sub[wk], (1, 0))}
+        bk = find(f"{stem}.bias")
+        if bk is not None:
+            consumed.add(bk)
+            d["bias"] = sub[bk]
+        return d
+
+    def lnorm(stem: str) -> T.Optional[T.Dict[str, np.ndarray]]:
+        wk, bk = find(f"{stem}.weight"), find(f"{stem}.bias")
+        if wk is None:
+            return None
+        consumed.add(wk)
+        consumed.add(bk)
+        return {"scale": sub[wk], "bias": sub[bk]}
+
+    cb = find("codebook")
+    if cb is not None:
+        consumed.add(cb)
+        out["codebook"] = sub[cb]
+    for stem, name in (
+        ("decoder_token_mlp", "decoder_token_mlp"),
+        ("decoder_start", "decoder_start"),
+        ("recover_embed", "recover_embed"),
+    ):
+        d = dense(stem)
+        if d is not None:
+            out[name] = d
+    d = lnorm("decoder_layer_norm")
+    if d is not None:
+        out["decoder_ln"] = d
+    i = 0
+    while find(f"decoder.{i}.layernorm1.weight") is not None:
+        out[f"mixer_{i}"] = {
+            "ln1": lnorm(f"decoder.{i}.layernorm1"),
+            "token_fc1": dense(f"decoder.{i}.MLP_token.ff.0"),
+            "token_fc2": dense(f"decoder.{i}.MLP_token.ff.3"),
+            "ln2": lnorm(f"decoder.{i}.layernorm2"),
+            "channel_fc1": dense(f"decoder.{i}.MLP_channel.ff.0"),
+            "channel_fc2": dense(f"decoder.{i}.MLP_channel.ff.3"),
+        }
+        i += 1
+
+    # the classifier head: the one remaining Linear (any name)
+    rest = [k for k in sub if k not in consumed]
+    head_w = [k for k in rest if k.endswith(".weight") and sub[k].ndim == 2]
+    if len(head_w) == 1:
+        wk = head_w[0]
+        consumed.add(wk)
+        out["cls_head"] = {"kernel": np.transpose(sub[wk], (1, 0))}
+        bk = wk[: -len("weight")] + "bias"
+        if bk in sub:
+            consumed.add(bk)
+            out["cls_head"]["bias"] = sub[bk]
+    leftovers = sorted(k for k in sub if k not in consumed)
+    if leftovers:
+        raise ValueError(
+            "decpose: unrecognized TokenClassfier keys (layout mismatch — "
+            f"refusing a partial conversion): {leftovers}"
+        )
+    return out
+
+
+def classifier_config_from_state_dict(
+    sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig
+) -> SMPLHeadConfig:
+    """Derive the TokenClassfier geometry fields of ``cfg`` from a real
+    checkpoint's ``decpose.*`` shapes (codebook [V, C], token-MLP [J, N],
+    decoder widths) so the flax init tree matches before conversion."""
+    sub = {k[len("decpose."):]: v for k, v in sd.items() if k.startswith("decpose.")}
+    if not sub:
+        return cfg
+    upd: T.Dict[str, int] = {}
+
+    def shape(suffix):
+        hits = [k for k in sub if k == suffix or k.endswith("." + suffix)]
+        return sub[hits[0]].shape if hits else None
+
+    s = shape("codebook")
+    if s is not None:
+        upd["token_class_num"], upd["token_code_dim"] = int(s[0]), int(s[1])
+    s = shape("decoder_token_mlp.weight")
+    if s is not None:
+        upd["token_num"] = int(s[1])
+    s = shape("decoder_start.weight")
+    if s is not None:
+        upd["dec_hidden_dim"] = int(s[0])
+    s = shape("decoder.0.MLP_token.ff.0.weight")
+    if s is not None:
+        upd["dec_token_inter_dim"] = int(s[0])
+    s = shape("decoder.0.MLP_channel.ff.0.weight")
+    if s is not None:
+        upd["dec_hidden_inter_dim"] = int(s[0])
+    n = 0
+    while shape(f"decoder.{n}.layernorm1.weight") is not None:
+        n += 1
+    if n:
+        upd["dec_num_blocks"] = n
+    return dataclasses.replace(cfg, **upd)
+
+
 def torch_head_to_flax(sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig) -> T.Dict:
     """Map the reference head's torch state_dict onto this tree.
 
-    Covers the linear readouts, the IEF init buffers, AND the full upstream
+    Covers the linear readouts, the IEF init buffers, the full upstream
     ``TransformerDecoder`` (ref ``modifications/token_head.py:151-153``;
     upstream key layout ``transformer.to_token_embedding``,
     ``transformer.pos_embedding``, ``transformer.transformer.layers.{i}.{j}``
     with j=0 self-attn / j=1 cross-attn / j=2 feed-forward, each a PreNorm
-    wrapper with ``.norm`` + ``.fn``). The decoder alone determines
-    ``token_out`` — the per-frame "vit" modality the scorer consumes — so this
-    mapping is what end-to-end feature parity rides on. The TokenClassfier
-    (``decpose.*``) readout keys are mapped where their names are present."""
+    wrapper with ``.norm`` + ``.fn``), AND the TokenClassfier (``decpose.*``,
+    ref ``token_head.py:160-164`` — classifier head + frozen PCT-layout
+    tokenizer decoder, see :func:`_convert_decpose`; geometry can be derived
+    first with :func:`classifier_config_from_state_dict`). The decoder alone
+    determines ``token_out`` — the per-frame "vit" modality the scorer
+    consumes — so this mapping is what end-to-end feature parity rides on."""
 
     def dense(prefix):
         out = {"kernel": np.transpose(sd[f"{prefix}.weight"], (1, 0))}
@@ -251,6 +444,12 @@ def torch_head_to_flax(sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig) -> T.Di
     for buf in ("init_body_pose", "init_betas", "init_cam"):
         if buf in sd:
             params[buf] = sd[buf]
+
+    decpose_sub = {
+        k[len("decpose."):]: v for k, v in sd.items() if k.startswith("decpose.")
+    }
+    if decpose_sub:
+        params["decpose"] = _convert_decpose(decpose_sub, cfg)
 
     if "transformer.to_token_embedding.weight" in sd:
         dec: T.Dict[str, T.Any] = {
