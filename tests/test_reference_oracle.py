@@ -185,3 +185,243 @@ def test_margin_hard_matches_reference_module(ref_losses_mod):
     want = float(ref(*map(torch.from_numpy, (a, p, n))))
     got = float(margin_hard_negatives(*map(jnp.asarray, (a, p, n))))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Data-path parity against the reference's OWN utils.py / eval.py (round-3
+# judge directive #2): the executable reference replaces the hand-built
+# oracles for stats, windowing, window features, and the TC/AC scorers.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_utils_mod():
+    return _load_ref("utils", "utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_eval_mod(ref_utils_mod, ref_model_mod):
+    """eval.py does ``from utils import ...`` / ``from model import ...`` by
+    bare name — alias the already-loaded reference modules for the import,
+    then restore sys.modules."""
+    import sys
+
+    saved = {k: sys.modules.get(k) for k in ("utils", "model")}
+    sys.modules["utils"] = ref_utils_mod
+    sys.modules["model"] = ref_model_mod
+    try:
+        return _load_ref("eval", "eval.py")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+CLASSES = ["JumpingJack", "PushUps"]
+CLIP_LEN, STRIDE = 8, 3
+
+
+@pytest.fixture(scope="module")
+def oracle_tree(tmp_path_factory):
+    """2 classes x 3 videos (one shorter than clip_len for the single-window
+    rule), keypoints 3 frames shorter than meshes (the C28 misalignment
+    quirk), small vit dim for speed."""
+    from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+
+    root = tmp_path_factory.mktemp("oracle_tree")
+    mesh_root, kp_root = make_fixture_tree(
+        str(root), CLASSES, videos_per_class=3, frames=(20, 14, 6),
+        vit_dim=16, kp_shorter_by=3, seed=42,
+    )
+    return mesh_root, kp_root
+
+
+@pytest.fixture(scope="module")
+def ref_dataset(ref_utils_mod, oracle_tree):
+    mesh_root, _ = oracle_tree
+    return ref_utils_mod.NpzVideoDataset(mesh_root, filter_classes=CLASSES)
+
+
+@pytest.fixture(scope="module")
+def ref_stats(ref_utils_mod, ref_dataset, oracle_tree):
+    _, kp_root = oracle_tree
+    return ref_utils_mod.compute_stats_from_npz(ref_dataset.items, kp_root)
+
+
+@pytest.fixture(scope="module")
+def our_pipeline(oracle_tree):
+    from video_gen_evals_tpu.data import (
+        ModalityPaths,
+        build_feature_bank,
+        compute_stats,
+        scan_class_tree,
+    )
+
+    mesh_root, kp_root = oracle_tree
+    manifest = scan_class_tree(mesh_root, filter_classes=CLASSES)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    stats = compute_stats(manifest.items, paths)
+    bank = build_feature_bank(manifest.items, paths, stats, min_rows=CLIP_LEN)
+    return manifest, paths, stats, bank
+
+
+def test_manifest_matches_reference_scan(ref_dataset, our_pipeline):
+    """Item identity + order vs the reference's NpzVideoDataset._scan
+    (ref ``utils.py:268-321``): same (cls, name, length, vit_dim) sequence."""
+    manifest = our_pipeline[0]
+    want = [(it.cls, it.name, it.length, it.vit_dim) for it in ref_dataset.items]
+    got = [(it.cls, it.name, it.length, it.vit_dim) for it in manifest.items]
+    assert got == want
+
+
+def test_split_membership_matches_reference(ref_utils_mod, ref_dataset, our_pipeline):
+    """train_test_split is bitwise the reference's (same random.Random
+    stream, same per-class order; ref ``utils.py:326-341``)."""
+    from video_gen_evals_tpu.data import train_test_split
+
+    ref_train, ref_test = ref_utils_mod.train_test_split(
+        ref_dataset, train_ratio=0.8, seed=1337
+    )
+    our_train, our_test = train_test_split(our_pipeline[0], 0.8, seed=1337)
+    assert [i.name for i in our_train.items] == [i.name for i in ref_train.items]
+    assert [i.name for i in our_test.items] == [i.name for i in ref_test.items]
+
+
+def test_stats_match_reference_compute_stats(ref_stats, our_pipeline):
+    """Our streaming stats == the reference's compute_stats_from_npz
+    (ref ``utils.py:595-801``): float64 sums, eps inside sqrt, kp included."""
+    stats = our_pipeline[2]
+    pairs = [
+        ("vit", "vit"), ("global", "gori"), ("pose", "pose"),
+        ("beta", "beta"), ("kp2d", "keypoints"),
+    ]
+    for ours_m, ref_m in pairs:
+        for stream, our_d in (("raw", (stats.mean_raw, stats.std_raw)),
+                              ("diff", (stats.mean_diff, stats.std_diff))):
+            want_mean = getattr(ref_stats, f"{ref_m}_{stream}_mean").numpy()
+            want_std = getattr(ref_stats, f"{ref_m}_{stream}_std").numpy()
+            np.testing.assert_allclose(
+                our_d[0][ours_m], want_mean, atol=2e-5,
+                err_msg=f"{ours_m} {stream} mean",
+            )
+            np.testing.assert_allclose(
+                our_d[1][ours_m], want_std, atol=2e-5,
+                err_msg=f"{ours_m} {stream} std",
+            )
+
+
+def test_window_enumeration_matches_reference(ref_utils_mod, ref_dataset, our_pipeline):
+    """enumerate_windows == sample_all_windows_npz (ref ``utils.py:888-911``),
+    including the short-video single-window rule."""
+    from video_gen_evals_tpu.data import enumerate_windows
+
+    manifest = our_pipeline[0]
+    ref_samples = ref_utils_mod.sample_all_windows_npz(
+        ref_dataset, clip_len=CLIP_LEN, stride=STRIDE
+    )
+    want = [(it.name, s) for it, s in ref_samples]
+    got = [(manifest.items[vi].name, s)
+           for vi, s in enumerate_windows(manifest, CLIP_LEN, STRIDE)]
+    assert got == want
+    assert any(s == 0 and manifest.items[vi].length < CLIP_LEN
+               for vi, s in enumerate_windows(manifest, CLIP_LEN, STRIDE))
+
+
+def test_window_features_match_reference_window_dataset(
+    ref_utils_mod, ref_dataset, ref_stats, our_pipeline, oracle_tree
+):
+    """The core data-path oracle: our bank + device gather reproduces the
+    reference's WindowDataset.__getitem__ (ref ``utils.py:345-523``) for
+    EVERY window — slice-or-pad, per-window deltas, z-scoring, concat order,
+    and the kp-shorter-than-mesh misalignment."""
+    from video_gen_evals_tpu.data import enumerate_windows, gather_windows
+
+    _, kp_root = oracle_tree
+    manifest, _paths, _stats, bank = our_pipeline
+
+    ref_samples = ref_utils_mod.sample_all_windows_npz(
+        ref_dataset, clip_len=CLIP_LEN, stride=STRIDE
+    )
+    wd = ref_utils_mod.WindowDataset(
+        ref_samples, clip_len=CLIP_LEN, keypoint_dir=kp_root, stats=ref_stats
+    )
+
+    wins = enumerate_windows(manifest, CLIP_LEN, STRIDE)
+    assert len(wins) == len(ref_samples)
+    vi = jnp.asarray(np.array([w[0] for w in wins], np.int32))
+    st = jnp.asarray(np.array([w[1] for w in wins], np.int32))
+    ours = np.asarray(
+        gather_windows(
+            jnp.asarray(bank.bank), jnp.asarray(bank.offsets),
+            jnp.asarray(bank.row_limit), jnp.asarray(bank.z0_diff),
+            bank.one_pass_raw, vi, st, CLIP_LEN,
+        )
+    )
+
+    worst = 0.0
+    for idx in range(len(ref_samples)):
+        feats, cls, name = wd[idx]
+        assert cls == manifest.items[wins[idx][0]].cls
+        assert name == manifest.items[wins[idx][0]].name
+        d = float(np.max(np.abs(ours[idx] - feats.numpy())))
+        worst = max(worst, d)
+    assert worst < 5e-5, f"max feature diff vs reference WindowDataset: {worst}"
+
+
+def test_tc_scorer_matches_reference_eval(ref_eval_mod):
+    """Our on-device TC == eval.py's compute_temporal_coherence_scores
+    (ref ``eval.py:209-226``) on shared synthetic features, incl. multi-window
+    videos and CLS exclusion."""
+    from video_gen_evals_tpu.metrics.scores import tc_per_window, video_tc_scores
+
+    rng = np.random.default_rng(5)
+    vids = ["a", "a", "a", "b", "c", "c"]  # windows per video: 3, 1, 2
+    N, Tp1, D = len(vids), 9, 12
+    frames = _rand_unit(rng, N, Tp1, D)
+
+    features = {
+        "frame_embeds": torch.from_numpy(frames),
+        "vid_names": [f"{v}.npz" for v in vids],
+    }
+    want = ref_eval_mod.compute_temporal_coherence_scores(features)
+
+    uniq = sorted(set(vids), key=vids.index)
+    wv = jnp.asarray(np.array([uniq.index(v) for v in vids], np.int32))
+    per_win = tc_per_window(jnp.asarray(frames))
+    got = np.asarray(video_tc_scores(per_win, wv, len(uniq)))
+    for i, v in enumerate(uniq):
+        np.testing.assert_allclose(got[i], want[v], rtol=1e-5, err_msg=v)
+
+
+def test_ac_scorer_matches_reference_eval(ref_eval_mod):
+    """Our on-device AC == eval.py's compute_action_consistency_scores
+    (ref ``eval.py:229-257``): normalized mean window embedding -> L2 to the
+    class centroid."""
+    from video_gen_evals_tpu.metrics.scores import video_ac_scores
+
+    rng = np.random.default_rng(6)
+    vids = ["a", "a", "b", "b", "b", "c"]
+    classes = {"a": "JumpingJack", "b": "PushUps", "c": "JumpingJack"}
+    label_dict = {"JumpingJack": 0, "PushUps": 1}
+    N, D = len(vids), 12
+    seq = _rand_unit(rng, N, D)
+    centroids = _rand_unit(rng, 2, D)
+
+    features = {
+        "seq_embeds": torch.from_numpy(seq),
+        "cls_names": [classes[v] for v in vids],
+        "vid_names": [f"{v}.npz" for v in vids],
+    }
+    want = ref_eval_mod.compute_action_consistency_scores(
+        features, torch.from_numpy(centroids), label_dict
+    )
+
+    uniq = sorted(set(vids), key=vids.index)
+    wv = jnp.asarray(np.array([uniq.index(v) for v in vids], np.int32))
+    vlabel = jnp.asarray(np.array([label_dict[classes[v]] for v in uniq], np.int32))
+    got = np.asarray(
+        video_ac_scores(jnp.asarray(seq), wv, vlabel, jnp.asarray(centroids))
+    )
+    for i, v in enumerate(uniq):
+        np.testing.assert_allclose(got[i], want[v], rtol=1e-5, err_msg=v)
