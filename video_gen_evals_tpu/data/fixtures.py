@@ -59,6 +59,20 @@ def write_keypoints(path: str, Tlen: int, rng: T.Optional[np.random.Generator] =
     np.save(path, base + drift)
 
 
+def write_embeddings_npz(
+    path: str, Tlen: int, dim: int, rng: T.Optional[np.random.Generator] = None
+) -> None:
+    """Side-modality embedding file (CLIP 512 / DINO 768): one compressed npz
+    with key ``embeddings [T, dim]`` (ref ``utils.py:434,448``)."""
+    rng = rng or np.random.default_rng(0)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    base = rng.normal(size=(1, dim)).astype(np.float32)
+    drift = np.cumsum(
+        rng.normal(scale=0.05, size=(Tlen, dim)), axis=0
+    ).astype(np.float32)
+    np.savez_compressed(path, embeddings=base + drift)
+
+
 def make_fixture_tree(
     root: str,
     classes: T.Sequence[str],

@@ -445,6 +445,17 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--checkpoint", required=True, help=".pt (torch) or orbax dir")
     p.add_argument("--real-kp-dir", default=None)
     p.add_argument("--gen-kp-dir", default=None)
+    p.add_argument("--real-clip-dir", default=None,
+                   help="CLIP embeddings for real videos "
+                        "(<dir>/<class>/<stem>/clip_embeddings.npz); enables "
+                        "the clip modality end to end (ref utils.py:426-438)")
+    p.add_argument("--gen-clip-dir", default=None,
+                   help="CLIP embeddings for generated videos "
+                        "(<dir>/<stem>/clip_embeddings.npz)")
+    p.add_argument("--real-dino-dir", default=None,
+                   help="DINO embeddings for real videos (ref utils.py:440-452)")
+    p.add_argument("--gen-dino-dir", default=None,
+                   help="DINO embeddings for generated videos")
     p.add_argument("--human-scores", default=None)
     p.add_argument("--clip-len", type=int, default=32)
     p.add_argument("--stride", type=int, default=8)
@@ -483,10 +494,14 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     # (ref utils.py:411-446); otherwise the explicit layouts
     real_paths = ModalityPaths(
         keypoint_dir=args.real_kp_dir,
+        clip_dir=args.real_clip_dir,
+        dino_dir=args.real_dino_dir,
         layout="auto" if bc.layout_auto else "real",
     )
     gen_paths = ModalityPaths(
         keypoint_dir=args.gen_kp_dir,
+        clip_dir=args.gen_clip_dir,
+        dino_dir=args.gen_dino_dir,
         layout="auto" if bc.layout_auto else "generated",
     )
 

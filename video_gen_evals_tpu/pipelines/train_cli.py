@@ -17,6 +17,13 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--real-kp-dir", default=None)
     p.add_argument("--generated-meshes", default=None)
     p.add_argument("--gen-kp-dir", default=None)
+    p.add_argument("--real-clip-dir", default=None,
+                   help="CLIP embeddings for real videos (enables the clip "
+                        "modality; ref train.py:35-46 / utils.py:426-438)")
+    p.add_argument("--real-dino-dir", default=None,
+                   help="DINO embeddings for real videos")
+    p.add_argument("--gen-clip-dir", default=None)
+    p.add_argument("--gen-dino-dir", default=None)
     p.add_argument("--human-scores", default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--clip-len", type=int, default=None)
@@ -49,6 +56,10 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         paths.generated_meshes_dir = args.generated_meshes
     if args.gen_kp_dir:
         paths.gen_kp_dir = args.gen_kp_dir
+    for flag in ("real_clip_dir", "real_dino_dir", "gen_clip_dir", "gen_dino_dir"):
+        v = getattr(args, flag)
+        if v:
+            setattr(paths, flag, v)
     if args.human_scores:
         paths.human_scores = args.human_scores
     for field in ("epochs", "clip_len", "stride", "lr", "save_dir"):
