@@ -103,3 +103,40 @@ def test_vit_block_core_impl_matches_xla(rng):
     yc = blk_c.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(yc), np.asarray(yx), atol=5e-3,
                                rtol=5e-3)
+
+
+def test_mha_head_batched_matches_reference(rng):
+    """Head-batched packed-QKV schedule (round-3 candidate) vs einsum."""
+    from video_gen_evals_tpu.ops.attention_core import mha_head_batched
+
+    B, N, H, D = 2, 48, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+    ref = np.asarray(
+        attention_xla(
+            q.reshape(B, N, H, D), k.reshape(B, N, H, D), v.reshape(B, N, H, D)
+        )
+    ).reshape(B, N, H * D)
+    out = np.asarray(mha_head_batched(q, k, v, heads=H, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # odd block_pairs fallback (BH=8 % 3 != 0 -> bp halves to 1)
+    out2 = np.asarray(
+        mha_head_batched(q, k, v, heads=H, block_pairs=3, interpret=True)
+    )
+    np.testing.assert_allclose(out2, ref, atol=2e-5)
+
+
+def test_vit_block_head_batched_impl_matches_xla(rng):
+    import jax
+    from video_gen_evals_tpu.models.vit import ViTBlock
+
+    B, N, D, H = 2, 24, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    blk_x = ViTBlock(D, H)
+    blk_h = ViTBlock(D, H, attention_impl="head_batched_interpret")
+    params = blk_x.init(jax.random.key(0), x)["params"]
+    yx = blk_x.apply({"params": params}, x)
+    yh = blk_h.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(yh), np.asarray(yx), atol=5e-3,
+                               rtol=5e-3)

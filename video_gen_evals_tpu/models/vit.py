@@ -64,6 +64,25 @@ class ViTBlock(nn.Module):
         hd = D // H
 
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.attention_impl in ("head_batched", "head_batched_interpret"):
+            # round-3 candidate: all heads as one [B*H, N, d] GEMM stream
+            # with fused softmax (ops/attention_core.py::mha_head_batched)
+            from ..ops.attention_core import mha_head_batched
+
+            qkv_flat = nn.Dense(3 * D, name="qkv")(h)
+            ctx = mha_head_batched(
+                qkv_flat[..., :D],
+                qkv_flat[..., D : 2 * D],
+                qkv_flat[..., 2 * D :],
+                heads=H,
+                interpret=self.attention_impl == "head_batched_interpret",
+            )
+            x = x + nn.Dense(D, name="proj")(ctx)
+            h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+            h = nn.Dense(int(D * self.mlp_ratio), name="fc1")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dense(D, name="fc2")(h)
+            return x + h
         if self.attention_impl in ("core", "core_interpret"):
             # layout-preserving fused attention (ops/attention_core.py):
             # q/k/v stay [B, N, D] contiguous slices of the qkv GEMM output

@@ -102,3 +102,74 @@ def mha_core(
         out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+def _mha_hb_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One program = a block of (batch*head) pairs; single-head fused-softmax
+    attention per pair (head axis rides the grid, not in-kernel slicing)."""
+    BH, N, d = q_ref.shape
+    for i in range(BH):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                           # [N, N] f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[i] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def mha_head_batched(
+    q: jnp.ndarray,   # [B, N, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: T.Optional[float] = None,
+    block_pairs: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Head-batched packed-QKV schedule (round-3 judge directive #8): all
+    heads flattened into one ``[B*H, N, d]`` GEMM stream with fused f32
+    softmax; the head axis rides the Pallas grid instead of in-kernel lane
+    slices. Pays 3 explicit ``[B,N,H,d] -> [B*H,N,d]`` relayouts up front +
+    1 back, betting that one bulk transpose each way is cheaper than XLA's
+    per-op relayouts. Measured on v5e-1 (benchmarks/BENCH_NOTES.md round 3):
+    see the ViT-H attention section for the verdict."""
+    B, N, D = q.shape
+    if D % heads:
+        raise ValueError(f"D={D} not divisible by heads={heads}")
+    d = D // heads
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    def pack(t):
+        return (
+            t.reshape(B, N, heads, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(B * heads, N, d)
+        )
+
+    qp, kp, vp = pack(q), pack(k), pack(v)
+    BH = B * heads
+    bp = block_pairs
+    while BH % bp:
+        bp //= 2
+    bp = max(bp, 1)
+    spec = pl.BlockSpec((bp, N, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mha_hb_kernel, scale=scale),
+        grid=(BH // bp,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((BH, N, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return (
+        out.reshape(B, heads, N, d).transpose(0, 2, 1, 3).reshape(B, N, D)
+    )

@@ -68,6 +68,13 @@ class ExtractorConfig:
     min_single_ratio: float = 0.8
     crop_scale: float = 1.2
     kp_bug_compat: bool = True   # drop invalid kp frames like the reference
+    # Extraction numerics (PARITY.md round-3 extraction-precision study):
+    # matmul class for every extraction stage (detector/ViT-H/head/pose) and
+    # an optional bf16 parameter cast. "high" (bf16_3x) is the default — same
+    # budget-backed choice as scoring; "default" (single-pass bf16 dots) and
+    # param_dtype="bfloat16" are the measured fast modes.
+    matmul_precision: str = "high"
+    param_dtype: str = "float32"   # "float32" | "bfloat16"
     # Benchmark/debug mode: treat every frame as single-person (detection
     # still runs, but the >=80%-single rejection is bypassed). Needed to
     # exercise the full mesh/pose path with random (unconverted) detector
@@ -101,6 +108,13 @@ class Extractor:
                 )["params"],
                 "pose": self.pose_net.init(k4, jnp.zeros((1, ph, pw, 3)))["params"],
             }
+        if self.cfg.param_dtype == "bfloat16":
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32
+                else a,
+                params,
+            )
         self.params = params
         self._build_jits()
 
@@ -108,9 +122,11 @@ class Extractor:
     def _build_jits(self) -> None:
         cfg = self.cfg
         dh, dw = cfg.det.input_hw
+        prec = cfg.matmul_precision
 
         @jax.jit
         def detect(params, frames_f32, frame_wh):
+          with jax.default_matmul_precision(prec):
             # resize full frames to detector input (device-side)
             W, H = frame_wh
             full_box = jnp.stack([W / 2.0, H / 2.0, W, H])
@@ -134,6 +150,7 @@ class Extractor:
 
         @jax.jit
         def mesh_forward(params_vit, params_head, frames_f32, boxes_xyxy):
+          with jax.default_matmul_precision(prec):
             crops = batched_person_crops(
                 frames_f32,
                 boxes_xyxy,
@@ -147,6 +164,7 @@ class Extractor:
 
         @jax.jit
         def pose_forward(params_pose, frames_f32, boxes_xyxy, frame_wh):
+          with jax.default_matmul_precision(prec):
             ph, pw = cfg.pose.input_hw
             crops = batched_person_crops(
                 frames_f32,
