@@ -103,6 +103,19 @@ def main() -> None:
             float(np.abs(v[k][0]["vit"] - b[k][0]["vit"]).max()) for k in videos
         )
 
+    def rank_stability(base, variant):
+        """Spearman of per-video AC and TC orderings, baseline vs variant —
+        the quantity TAG's headline metric (rank correlation with human MOS)
+        actually depends on."""
+        from scipy.stats import spearmanr
+
+        keys = sorted(base)
+        ac = spearmanr([base[k]["ac"] for k in keys],
+                       [variant[k]["ac"] for k in keys]).statistic
+        tc = spearmanr([base[k]["tc"] for k in keys],
+                       [variant[k]["tc"] for k in keys]).statistic
+        return float(ac), float(tc)
+
     rows = []
     with tempfile.TemporaryDirectory() as td:
         mr, kr = write_tree(os.path.join(td, "baseline"), raw_out["baseline"])
@@ -116,18 +129,22 @@ def main() -> None:
                 mr, kr, encoder, stats=stats, centroids=centroids
             )
             dac, dtc = score_drift(base_scores, scores)
-            rows.append((name, tokdiff(name), dac, dtc))
-            print(f"[scored] {name}: dAC={dac:.2e} dTC={dtc:.2e}", flush=True)
+            rs_ac, rs_tc = rank_stability(base_scores, scores)
+            rows.append((name, tokdiff(name), dac, dtc, rs_ac, rs_tc))
+            print(f"[scored] {name}: dAC={dac:.2e} dTC={dtc:.2e} "
+                  f"rankAC={rs_ac:.2f} rankTC={rs_tc:.2f}", flush=True)
 
     ac_mag = np.mean([abs(s["ac"]) for s in base_scores.values()])
     tc_mag = np.mean([abs(s["tc"]) for s in base_scores.values()])
     print("\n### Box-sensitivity study "
           f"({args.videos} videos x {args.frames} frames, ViT-H random init, "
           "extraction precision 'high')\n")
-    print("| mesh-box perturbation | token_out max|d| | max dAC | max dTC |")
-    print("|---|---|---|---|")
-    for name, td_, dac, dtc in rows:
-        print(f"| {name} | {td_:.2e} | {dac:.2e} | {dtc:.2e} |")
+    print("| mesh-box perturbation | token_out max|d| | max dAC | max dTC "
+          "| rank-Spearman AC | rank-Spearman TC |")
+    print("|---|---|---|---|---|---|")
+    for name, td_, dac, dtc, rs_ac, rs_tc in rows:
+        print(f"| {name} | {td_:.2e} | {dac:.2e} | {dtc:.2e} "
+              f"| {rs_ac:.2f} | {rs_tc:.2f} |")
     print(f"\nbaseline score magnitudes: mean|AC|={ac_mag:.3f} "
           f"mean|TC|={tc_mag:.3f}; parity budget 1e-3.")
 

@@ -74,6 +74,13 @@ def main() -> None:
     base_ex = Extractor(ExtractorConfig(matmul_precision="highest",
                                         keep_all_frames=True))
     f32_params = base_ex.params
+    # condition the IEF mean-pose buffer like a real checkpoint: random init
+    # leaves it at zero, and rot6d_to_rotmat of near-zero 6d vectors is
+    # ill-conditioned — precision noise would flip whole rotations, which a
+    # trained model (mean_params magnitudes ~O(1)) never sees
+    npose = f32_params["head"]["init_body_pose"].shape[-1]
+    mean6d = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 1.0, 0], jnp.float32), npose // 6)
+    f32_params["head"]["init_body_pose"] = mean6d[None, :]
 
     modes = [
         ("highest", dict(matmul_precision="highest", param_dtype="float32")),
@@ -125,6 +132,7 @@ def main() -> None:
     encoder = WindowEncoder(model, params, batch_size=32, clip_len=32)
 
     score_rows = []
+    mod_rows = {}
     with tempfile.TemporaryDirectory() as td:
         mesh_root, kp_root = write_tree(
             os.path.join(td, "highest"), raw_out["highest"]
@@ -132,6 +140,28 @@ def main() -> None:
         base_scores, stats, centroids, _ = score_tree(
             mesh_root, kp_root, encoder
         )
+        # per-modality attribution: normalized (z-scored) bank deltas
+        from video_gen_evals_tpu.data import (
+            ModalityPaths, build_feature_bank, scan_class_tree,
+        )
+
+        def bank_of(root_dir, kp_dir):
+            m = scan_class_tree(root_dir)
+            return build_feature_bank(
+                m.items, ModalityPaths(keypoint_dir=kp_dir, layout="real"),
+                stats, min_rows=40,
+            )
+
+        base_bank = bank_of(mesh_root, kp_root)
+        mods_list = stats.modalities
+        dims_r, dims_d = stats.dims_map_raw(), stats.dims_map_diff()
+        slices = {}
+        off = 0
+        for m in mods_list:
+            slices[f"{m}.raw"] = slice(off, off + dims_r[m]); off += dims_r[m]
+        for m in mods_list:
+            slices[f"{m}.diff"] = slice(off, off + dims_d[m]); off += dims_d[m]
+
         for mode, _ in modes[1:]:
             mr, kr = write_tree(os.path.join(td, mode), raw_out[mode])
             scores, _, _, _ = score_tree(
@@ -139,6 +169,11 @@ def main() -> None:
             )
             dac, dtc = score_drift(base_scores, scores)
             score_rows.append((mode, dac, dtc))
+            vb = bank_of(mr, kr)
+            mod_rows[mode] = {
+                k: float(np.abs(vb.bank[:, s] - base_bank.bank[:, s]).max())
+                for k, s in slices.items()
+            }
             print(f"[scored] {mode}: dAC={dac:.2e} dTC={dtc:.2e}", flush=True)
 
     ac_mag = np.mean([abs(s["ac"]) for s in base_scores.values()])
@@ -157,6 +192,14 @@ def main() -> None:
               f"| {kp_abs:.2e} | {dac:.2e} | {dtc:.2e} |")
     print(f"\nbaseline score magnitudes: mean|AC|={ac_mag:.3f} "
           f"mean|TC|={tc_mag:.3f}; parity budget 1e-3.")
+
+    some = next(iter(mod_rows.values()))
+    print("\nPer-modality normalized (z-scored) bank max|d| vs highest:\n")
+    print("| mode | " + " | ".join(some) + " |")
+    print("|---|" + "---|" * len(some))
+    for mode, row in mod_rows.items():
+        print("| " + mode + " | "
+              + " | ".join(f"{v:.1e}" for v in row.values()) + " |")
     if args.time:
         print("\nextract wall-times (incl. compile on first mode):")
         for mode, t in times.items():
