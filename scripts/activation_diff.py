@@ -27,7 +27,9 @@ compared layer exceeds ``--tol``.
 Anchor coverage: ViT-H per block (+patch embed, final norm); SMPL head per
 decoder sub-block (self/cross/FF), the TokenClassfier (cls head, tokenizer
 decoder stages), and every readout; RTMPose per backbone stage + every head
-stage; YOLOX per dark stage, every PAFPN node, and all 18 head convs/preds.
+stage; YOLOX per dark stage, every PAFPN node, and all 18 head convs/preds;
+Faster R-CNN per ResNeXt block + stem, all 8 FPN convs, and the per-level
+RPN predictions (``--network rcnn``, d2 GeneralizedRCNN naming).
 
 Smoke-tested in ``tests/test_activation_diff.py`` against the in-repo torch
 replicas, so real-checkpoint validation is a file-drop away (VERDICT.md
@@ -93,30 +95,39 @@ def torch_module_activations(model, *inputs, **kw) -> T.Dict[str, np.ndarray]:
 # flax-side intermediates
 # --------------------------------------------------------------------------
 
-def flax_intermediates(module, params, *args) -> T.Dict[str, np.ndarray]:
+def flax_intermediates(module, params, *args, method=None) -> T.Dict[str, np.ndarray]:
     """apply() with capture_intermediates; returns {'a/b/c': array} with
-    tuple outputs stored as path (first element) plus path#k per element."""
+    tuple outputs stored as path (first element) plus path#k per element.
+    Modules invoked multiple times (e.g. an RPN head shared across FPN
+    levels) additionally expose each invocation as ``path@i``."""
+    kw = {} if method is None else {"method": method}
     out, state = module.apply(
-        {"params": params}, *args, capture_intermediates=True, mutable=["intermediates"]
+        {"params": params}, *args, capture_intermediates=True,
+        mutable=["intermediates"], **kw,
     )
     flat: T.Dict[str, np.ndarray] = {}
+
+    def store_val(name, val):
+        if isinstance(val, (tuple, list)):
+            for k, o in enumerate(val):
+                if hasattr(o, "shape"):
+                    flat[f"{name}#{k}"] = np.asarray(o)
+                    if k == 0:
+                        flat[name] = flat[f"{name}#0"]
+        elif hasattr(val, "shape"):
+            flat[name] = np.asarray(val)
 
     def walk(tree, path):
         if isinstance(tree, dict):
             for k, v in tree.items():
                 walk(v, path if k == "__call__" else path + [k])
         elif isinstance(tree, (tuple, list)):
-            # a "__call__" leaf: tuple of call results (usually one)
-            val = tree[0]
+            # a "__call__" leaf: tuple of call results (one per invocation)
             name = "/".join(path)
-            if isinstance(val, (tuple, list)):
-                for k, o in enumerate(val):
-                    if hasattr(o, "shape"):
-                        flat[f"{name}#{k}"] = np.asarray(o)
-                        if k == 0:
-                            flat[name] = flat[f"{name}#0"]
-            elif hasattr(val, "shape"):
-                flat[name] = np.asarray(val)
+            store_val(name, tree[0])
+            if len(tree) > 1:
+                for ci, val in enumerate(tree):
+                    store_val(f"{name}@{ci}", val)
 
     walk(state["intermediates"], [])
     if isinstance(out, (tuple, list)):
@@ -241,11 +252,46 @@ def _yolox_spec(sd, overrides):
     return YOLOXDetector(cfg), yolox_to_flax(sd, cfg), anchors
 
 
+def _rcnn_spec(sd, overrides):
+    """Faster R-CNN X101-FPN (the reference's mesh detector). Input: the
+    normalized BGR canvas, NHWC. Compares the backbone/FPN stage by stage
+    plus the per-level RPN predictions; the proposal/NMS/pooling math is
+    weight-free (numpy-oracle tested in ``tests/test_rcnn.py``) so the
+    network stages are the whole conversion surface. Shared RPN modules are
+    anchored at their LAST invocation (``@4`` = p6) to match torch forward
+    hooks, which overwrite per call."""
+    from video_gen_evals_tpu.models.rcnn import (
+        FasterRCNN,
+        RCNNConfig,
+        detectron2_to_flax,
+    )
+
+    cfg = _build_cfg(RCNNConfig, RCNNConfig.x101_32x8d, overrides)
+    anchors = [("backbone.bottom_up.stem.conv1", "backbone/stem_conv1")]
+    for si, n in enumerate(cfg.stage_blocks):
+        anchors += [
+            (f"backbone.bottom_up.res{si + 2}.{bi}", f"backbone/res{si + 2}_b{bi}")
+            for bi in range(n)
+        ]
+    for i in range(2, 6):
+        anchors += [
+            (f"backbone.fpn_lateral{i}", f"backbone/fpn_lateral{i}"),
+            (f"backbone.fpn_output{i}", f"backbone/fpn_output{i}"),
+        ]
+    anchors += [
+        ("proposal_generator.rpn_head.objectness_logits", "rpn/objectness_logits@4"),
+        ("proposal_generator.rpn_head.anchor_deltas", "rpn/anchor_deltas@4"),
+    ]
+    model = FasterRCNN(cfg)
+    return model, detectron2_to_flax(sd, cfg), anchors, model.rpn_raw
+
+
 NETWORKS = {
     "vit": _vit_spec,
     "smpl_head": _smpl_head_spec,
     "rtmpose": _rtmpose_spec,
     "yolox": _yolox_spec,
+    "rcnn": _rcnn_spec,
 }
 
 
@@ -364,8 +410,12 @@ def run_diff(
     torch_acts: T.Dict[str, np.ndarray],
     overrides: T.Optional[dict] = None,
 ) -> T.List[DiffRow]:
-    module, params, anchors = NETWORKS[network](sd, overrides or {})
-    flax_acts = flax_intermediates(module, params, jax.numpy.asarray(x))
+    spec = NETWORKS[network](sd, overrides or {})
+    module, params, anchors = spec[:3]
+    method = spec[3] if len(spec) > 3 else None
+    flax_acts = flax_intermediates(
+        module, params, jax.numpy.asarray(x), method=method
+    )
     return diff_activations(torch_acts, flax_acts, anchors)
 
 

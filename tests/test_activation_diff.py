@@ -219,3 +219,21 @@ def test_suffix_tolerant_lookup_and_statuses():
     )
     assert [r.status for r in rows] == ["ok", "missing-torch", "missing-flax"]
     assert rows[0].max_abs == 0.0
+
+
+# ---- Faster R-CNN ------------------------------------------------------------
+def test_rcnn_activation_diff():
+    from test_rcnn import TorchRCNN, _randomize
+    from video_gen_evals_tpu.models.rcnn import RCNNConfig
+
+    cfg = RCNNConfig.small()
+    ref = _randomize(TorchRCNN(cfg), seed=6).eval()
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(1, 64, 96, 3)).astype(np.float32)
+    acts = torch_module_activations(ref, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rows = run_diff("rcnn", sd, x, acts, dataclasses.asdict(cfg))
+    ok = _ok_rows(rows)
+    # stem + res blocks + 8 FPN convs + 2 per-level RPN preds (last level)
+    assert len(ok) == 1 + sum(cfg.stage_blocks) + 8 + 2

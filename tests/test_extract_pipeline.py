@@ -113,3 +113,62 @@ def test_run_tree_error_isolation(extractor, tmp_path):
     with open(tmp_path / "l" / "errors" / "JumpingJack.json") as f:
         errs = json.load(f)
     assert "bad.npy" in errs
+
+
+def test_rcnn_mesh_detector_mode(rng):
+    """mesh_detector='rcnn': Faster R-CNN boxes feed the mesh crops and the
+    single-person filter (ref mesh_generator.py:69-74 provenance); the pose
+    branch keeps YOLOX boxes. Contracts must match the yolox mode exactly."""
+    from video_gen_evals_tpu.models.rcnn import RCNNConfig
+
+    ex = tiny_extractor(
+        mesh_detector="rcnn",
+        rcnn=RCNNConfig.small(),
+        keep_all_frames=True,   # random weights: exercise the full path
+    )
+    assert "rcnn" in ex.params
+    frames = rng.integers(0, 255, size=(6, 48, 40, 3)).astype(np.uint8)
+    mesh, kp = ex.process_video_full(frames, with_keypoints=True)
+    Tv = mesh["frame_idx"].shape[0]
+    assert Tv == 6
+    assert mesh["pose"].shape == (Tv, 23, 3, 3)
+    assert mesh["vit"].shape == (Tv, 32)
+    assert np.isfinite(mesh["vit"]).all()
+    assert kp["kp120"].shape == (6, 120)
+
+    # streamed path agrees with the per-video path (same detector stages)
+    mesh_by, kp_by = ex.process_videos_streamed(
+        [("v0", frames)], with_keypoints=True
+    )
+    np.testing.assert_allclose(
+        mesh_by["v0"]["vit"], mesh["vit"], rtol=0, atol=1e-5
+    )
+    np.testing.assert_array_equal(kp_by["v0"]["valid"], kp["valid"])
+
+
+def test_rcnn_single_person_filter_semantics():
+    """The rcnn-mode video accept/reject rule is the reference's: exactly
+    one person box > 0.5 per frame, >= min_single_ratio of frames."""
+    import jax.numpy as jnp
+
+    from video_gen_evals_tpu.models.rcnn import RCNNConfig
+
+    ex = tiny_extractor(mesh_detector="rcnn", rcnn=RCNNConfig.small())
+    # patch the rcnn detect stage to a deterministic stub: frame i has
+    # (i % 3) qualifying person boxes
+    def fake_detect(params, frames_f32):
+        B = frames_f32.shape[0]
+        idx = jnp.arange(B)
+        single = (idx % 3) == 1
+        box = jnp.tile(jnp.asarray([[1.0, 2.0, 30.0, 40.0]]), (B, 1))
+        return box, single
+
+    ex._detect_rcnn = fake_detect
+    frames = np.zeros((9, 48, 40, 3), np.uint8)
+    # 3 of 9 frames single -> ratio 1/3
+    ex.cfg.min_single_ratio = 0.5
+    assert ex.process_video(frames) is None
+    ex.cfg.min_single_ratio = 0.3
+    out = ex.process_video(frames)
+    assert out is not None
+    np.testing.assert_array_equal(out["frame_idx"], [1, 4, 7])

@@ -63,6 +63,16 @@ class ExtractorConfig:
     vit: ViTConfig = dataclasses.field(default_factory=ViTConfig)
     head: SMPLHeadConfig = dataclasses.field(default_factory=SMPLHeadConfig)
     pose: PoseNetConfig = dataclasses.field(default_factory=PoseNetConfig)
+    # Mesh-path box provenance. "yolox": one shared YOLOX detector feeds both
+    # the mesh and keypoint crops (fast mode). "rcnn": the mesh crops and the
+    # single-person video filter use Faster R-CNN X101-FPN boxes — the
+    # reference's actual mesh detector (ref ``mesh_generator.py:69-74``,
+    # DefaultPredictor preprocessing reproduced device-side) — while the
+    # DWPose keypoint branch keeps its own YOLOX boxes (ITS reference
+    # provenance). PARITY.md's box-sensitivity study is why this matters:
+    # AC/TC scores are not robust to detector-family box differences.
+    mesh_detector: str = "yolox"
+    rcnn: "RCNNConfig" = None  # default filled in __post_init__
     frame_batch: int = 32
     det_score_thresh: float = 0.5
     min_single_ratio: float = 0.8
@@ -82,6 +92,12 @@ class ExtractorConfig:
     # the reference's filtering semantics.
     keep_all_frames: bool = False
 
+    def __post_init__(self):
+        if self.rcnn is None:
+            from ..models.rcnn import RCNNConfig
+
+            self.rcnn = RCNNConfig.x101_32x8d()
+
 
 class Extractor:
     """Batched detector + mesh net + pose net with jitted stages."""
@@ -93,10 +109,17 @@ class Extractor:
         self.backbone = ViTBackbone(cfg.vit)
         self.head = SMPLTokenDecoderHead(cfg.head)
         self.pose_net = SimCCPoseNet(cfg.pose)
+        self.rcnn = None
+        if cfg.mesh_detector == "rcnn":
+            from ..models.rcnn import FasterRCNN
+
+            self.rcnn = FasterRCNN(cfg.rcnn)
+        elif cfg.mesh_detector != "yolox":
+            raise ValueError(f"unknown mesh_detector {cfg.mesh_detector!r}")
 
         if params is None:
             rng = rng if rng is not None else jax.random.key(0)
-            k1, k2, k3, k4 = jax.random.split(rng, 4)
+            k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
             dh, dw = cfg.det.input_hw
             ch, cw = cfg.vit.img_size
             ph, pw = cfg.pose.input_hw
@@ -108,6 +131,10 @@ class Extractor:
                 )["params"],
                 "pose": self.pose_net.init(k4, jnp.zeros((1, ph, pw, 3)))["params"],
             }
+            if self.rcnn is not None:
+                params["rcnn"] = self.rcnn.init(
+                    k5, jnp.zeros((1, 64, 64, 3)), method=self.rcnn.init_all
+                )["params"]
         if self.cfg.param_dtype == "bfloat16":
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)
@@ -211,6 +238,71 @@ class Extractor:
 
             return jax.vmap(one)(kps134, sc134)
 
+        if self.rcnn is not None:
+            from ..models.rcnn import (
+                PIXEL_MEAN_BGR,
+                pad_to_divisible,
+                resize_shortest_edge,
+            )
+
+            @jax.jit
+            def detect_rcnn(params, frames_f32):
+              with jax.default_matmul_precision(prec):
+                # DefaultPredictor preprocessing, device-side (ref
+                # mesh_generator.py:74 + d2 DefaultPredictor): BGR input,
+                # shortest-edge-800 resize (bilinear), pixel-mean subtract
+                # (std is 1), zero-pad to 32-divisible canvas.
+                B, H, W, _ = frames_f32.shape
+                rc = cfg.rcnn
+                rh, rw = resize_shortest_edge(
+                    (H, W), rc.min_size_test, rc.max_size_test
+                )
+                ch_, cw_ = pad_to_divisible((rh, rw))
+                full_box = jnp.stack([W / 2.0, H / 2.0, jnp.float32(W), jnp.float32(H)])
+                resized = jax.vmap(
+                    lambda f: crop_resize_matmul(f, full_box, (rh, rw))
+                )(frames_f32)
+                bgr = resized[..., ::-1] - jnp.asarray(PIXEL_MEAN_BGR)
+                canvas = jnp.pad(
+                    bgr, ((0, 0), (0, ch_ - rh), (0, cw_ - rw), (0, 0))
+                )
+                det = self.rcnn.apply(
+                    {"params": params}, canvas, image_hw=(rh, rw)
+                )
+                # d2 detector_postprocess: rescale to original frame coords,
+                # then clip to the original size
+                sx = W / rw
+                sy = H / rh
+                boxes = det["boxes"] * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+                boxes = jnp.stack(
+                    [
+                        jnp.clip(boxes[..., 0], 0, W),
+                        jnp.clip(boxes[..., 1], 0, H),
+                        jnp.clip(boxes[..., 2], 0, W),
+                        jnp.clip(boxes[..., 3], 0, H),
+                    ],
+                    axis=-1,
+                )
+                # ref mesh_generator.py:103-111: person class, score > 0.5,
+                # exactly one such box
+                person = (
+                    (det["classes"] == 0)
+                    & (det["scores"] > cfg.det_score_thresh)
+                    & det["valid"]
+                )
+                single = jnp.sum(person.astype(jnp.int32), axis=-1) == 1
+                best = jnp.argmax(
+                    jnp.where(person, det["scores"], -1.0), axis=-1
+                )
+                box1 = jnp.take_along_axis(
+                    boxes, best[:, None, None], axis=1
+                )[:, 0]
+                return box1, single
+
+            self._detect_rcnn = detect_rcnn
+        else:
+            self._detect_rcnn = None
+
         self._detect = detect
         self._mesh_forward = mesh_forward
         self._pose_forward = pose_forward
@@ -253,6 +345,34 @@ class Extractor:
         return joined
 
     # ------------------------------------------------------------------
+    def _detect_stage(self, frames_f32, wh, with_keypoints):
+        """(mesh boxes, pose boxes, single-person mask), all device-side.
+
+        yolox mode: ONE shared detector pass feeds both crop branches.
+        rcnn mode: mesh boxes + the video filter come from Faster R-CNN
+        (the reference's mesh provenance); the pose branch keeps YOLOX
+        boxes (DWPose's own detector)."""
+        if self.rcnn is not None:
+            box_mesh, single = self._batched(
+                lambda f: self._detect_rcnn(self.params["rcnn"], f),
+                frames_f32,
+                fetch=False,
+            )
+            box_pose = None
+            if with_keypoints:
+                box_pose, _ = self._batched(
+                    lambda f: self._detect(self.params["det"], f, wh),
+                    frames_f32,
+                    fetch=False,
+                )
+            return box_mesh, box_pose, single
+        box1, single = self._batched(
+            lambda f: self._detect(self.params["det"], f, wh),
+            frames_f32,
+            fetch=False,
+        )
+        return box1, box1, single
+
     def _upload_frames(self, frames: np.ndarray) -> jnp.ndarray:
         """Host uint8 frames -> device f32, ONE transfer.
 
@@ -290,24 +410,22 @@ class Extractor:
         # mesh/pose work is speculative w.r.t. the single-person ratio test —
         # for rejected videos it is wasted, but accepted videos (the common
         # case) never stall on the detector fetch.
-        box1, single = self._batched(
-            lambda f: self._detect(self.params["det"], f, wh),
-            frames_f32,
-            fetch=False,
+        box_mesh, box_pose, single = self._detect_stage(
+            frames_f32, wh, with_keypoints
         )
         out = self._batched(
             lambda f, b: self._mesh_forward(
                 self.params["vit"], self.params["head"], f, b
             ),
             frames_f32,
-            box1,
+            box_mesh,
             fetch=False,
         )
         if with_keypoints:
             kps134, sc134 = self._batched(
                 lambda f, b: self._pose_forward(self.params["pose"], f, b, wh),
                 frames_f32,
-                box1,
+                box_pose,
                 fetch=False,
             )
             kp120, valid = self._kp_post(kps134, sc134, wh)
@@ -401,24 +519,22 @@ class Extractor:
         stream = jnp.concatenate(devs, axis=0) if len(devs) > 1 else devs[0]
         wh = (jnp.float32(W), jnp.float32(H))
 
-        box1, single = self._batched(
-            lambda f: self._detect(self.params["det"], f, wh),
-            stream,
-            fetch=False,
+        box_mesh, box_pose, single = self._detect_stage(
+            stream, wh, with_keypoints
         )
         out = self._batched(
             lambda f, b: self._mesh_forward(
                 self.params["vit"], self.params["head"], f, b
             ),
             stream,
-            box1,
+            box_mesh,
             fetch=False,
         )
         if with_keypoints:
             kps134, sc134 = self._batched(
                 lambda f, b: self._pose_forward(self.params["pose"], f, b, wh),
                 stream,
-                box1,
+                box_pose,
                 fetch=False,
             )
             kp120, kvalid = self._kp_post(kps134, sc134, wh)
@@ -697,9 +813,15 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "(1 = per-video path)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="decode+upload threads running ahead (0 = off)")
+    p.add_argument("--mesh-detector", choices=["yolox", "rcnn"], default="yolox",
+                   help="mesh-path box provenance: 'rcnn' = Faster R-CNN "
+                        "X101-FPN (the reference's detector family, ref "
+                        "mesh_generator.py:69-74); 'yolox' = shared fast "
+                        "detector (see PARITY.md box-sensitivity study)")
     args = p.parse_args(argv)
 
-    ex = Extractor(ExtractorConfig(kp_bug_compat=args.bug_compat))
+    ex = Extractor(ExtractorConfig(kp_bug_compat=args.bug_compat,
+                                   mesh_detector=args.mesh_detector))
     counts = ex.run_tree(
         args.videos,
         args.out_meshes,
