@@ -74,6 +74,9 @@ class ExtractorConfig:
     mesh_detector: str = "yolox"
     rcnn: "RCNNConfig" = None  # default filled in __post_init__
     frame_batch: int = 32
+    # the X101-FPN detect stage works at an 800x1088 canvas (~70x the pixel
+    # area of the other stages' crops), so it chunks smaller to bound HBM
+    rcnn_frame_batch: int = 8
     det_score_thresh: float = 0.5
     min_single_ratio: float = 0.8
     crop_scale: float = 1.2
@@ -310,14 +313,15 @@ class Extractor:
         self._to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32))
 
     # ------------------------------------------------------------------
-    def _batched(self, fn, frames, *extra, fetch: bool = True):
+    def _batched(self, fn, frames, *extra, fetch: bool = True,
+                 batch: T.Optional[int] = None):
         """Run a jitted per-frame-stack fn in fixed-size chunks (pad tail).
 
         ``frames``/``extra`` may be numpy or device arrays; chunk outputs are
         queued device-side and fetched once at the end (``fetch=True``) so
         dispatch pipelines instead of paying a host round trip per chunk —
         through the axon tunnel that round trip is ~28 ms (BENCH_NOTES)."""
-        B = self.cfg.frame_batch
+        B = batch or self.cfg.frame_batch
         n = frames.shape[0]
         outs = []
         for lo in range(0, n, B):
@@ -357,6 +361,7 @@ class Extractor:
                 lambda f: self._detect_rcnn(self.params["rcnn"], f),
                 frames_f32,
                 fetch=False,
+                batch=min(self.cfg.rcnn_frame_batch, self.cfg.frame_batch),
             )
             box_pose = None
             if with_keypoints:
