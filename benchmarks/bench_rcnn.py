@@ -39,20 +39,31 @@ def main() -> None:
     from video_gen_evals_tpu.models.rcnn import RCNNConfig
     from video_gen_evals_tpu.pipelines.extract import Extractor, ExtractorConfig
 
+    import dataclasses
+
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
     precs = os.environ.get("BENCH_PREC", "high,default").split(",")
+    impls = os.environ.get("BENCH_IMPL", "block_diag").split(",")
     rng = np.random.default_rng(0)
 
     for prec in precs:
+      for impl in impls:
         ex = Extractor(
             ExtractorConfig(
                 mesh_detector="rcnn",
-                rcnn=RCNNConfig.x101_32x8d(),
+                rcnn=dataclasses.replace(
+                    RCNNConfig.x101_32x8d(), grouped_conv_impl=impl
+                ),
                 matmul_precision=prec,
                 keep_all_frames=True,
             )
         )
+        # the detect stage only needs the rcnn params; freeing the mesh/pose
+        # nets keeps the whole bench inside HBM (a resident ViT-H pushed the
+        # first run of this harness into RESOURCE_EXHAUSTED)
+        for k in ("vit", "head", "pose"):
+            ex.params.pop(k, None)
         for B in batches:
             frames = jnp.asarray(
                 rng.integers(0, 255, size=(B, 240, 320, 3)).astype(np.float32)
@@ -74,6 +85,7 @@ def main() -> None:
                 json.dumps(
                     {
                         "prec": prec,
+                        "impl": impl,
                         "batch": B,
                         "ms_per_batch": round(ms, 2),
                         "frames_per_sec": round(B / ms * 1e3, 1),

@@ -308,3 +308,28 @@ def test_crop_resize_matmul_matches_gather(rng):
         ref = np.asarray(crop_resize(img, box, (16, 12)))
         out = np.asarray(crop_resize_matmul(img, box, (16, 12)))
         np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_pil_resize_matmul_matches_pillow(rng):
+    """resize_pil_matmul == PIL.Image.resize(BILINEAR) on F-mode images —
+    up- AND downsampling (the antialias case) including PIL's renormalized
+    edge windows. This is d2 ResizeShortestEdge's resize (DefaultPredictor
+    full-frame preprocessing)."""
+    from PIL import Image as PIL_Image
+    from video_gen_evals_tpu.ops.image import resize_pil_matmul
+
+    for (h, w), (oh, ow) in [
+        ((240, 320), (800, 1067)),   # the UCF101 upsample case
+        ((48, 64), (33, 21)),        # downsample: antialias kicks in
+        ((37, 29), (37, 58)),        # mixed axes
+        ((16, 16), (5, 5)),          # strong downsample
+    ]:
+        img = rng.normal(size=(h, w, 3)).astype(np.float32) * 50 + 100
+        got = np.asarray(resize_pil_matmul(jnp.asarray(img), (oh, ow)))
+        for c in range(3):
+            ref = np.asarray(
+                PIL_Image.fromarray(img[..., c], mode="F").resize(
+                    (ow, oh), PIL_Image.BILINEAR
+                )
+            )
+            np.testing.assert_allclose(got[..., c], ref, atol=2e-3)

@@ -9,6 +9,8 @@ checkpoint key layout (ref ``modifications/mesh_generator.py:69-74`` is
 where the reference instantiates this model from the zoo).
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -557,3 +559,19 @@ def test_converter_raises_on_unconsumed_keys(small_pair):
     sd["roi_heads.box_predictor.extra.weight"] = np.zeros(3, np.float32)
     with pytest.raises(ValueError, match="unconsumed"):
         detectron2_to_flax(sd, cfg)
+
+
+def test_grouped_conv_block_diag_matches_native(small_pair):
+    """The block-diagonal lowering of the grouped 3x3 (the TPU-fast path,
+    `rcnn.py::_GroupedConvBlockDiag`) is mathematically identical to the
+    native feature_group_count conv: same param tree, same outputs."""
+    cfg, _, params = small_pair
+    x = jnp.asarray(_canvas(7))
+    feats = {}
+    for impl in ("native", "block_diag"):
+        c = dataclasses.replace(cfg, grouped_conv_impl=impl)
+        feats[impl] = FasterRCNN(c).apply(
+            {"params": params}, x, method="backbone_features"
+        )
+    for i, (a, b) in enumerate(zip(feats["native"], feats["block_diag"])):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5, f"p{i + 2}"

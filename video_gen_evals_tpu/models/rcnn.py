@@ -50,6 +50,14 @@ class RCNNConfig:
     stem_channels: int = 64
     stage_out: T.Tuple[int, ...] = (256, 512, 1024, 2048)
     stride_in_1x1: bool = False
+    # grouped-conv lowering: "block_diag" runs each grouped 3x3 as one full
+    # conv with a zero-filled block-diagonal kernel — the backbone-only probe
+    # measured an identical-shape groups=1 conv 2.1x faster than XLA's native
+    # feature_group_count=32 lowering despite 9x nominal conv2 FLOPs, and the
+    # full detect stage measures 561->421 ms/8 frames at `default` precision
+    # (797->669 at `high`) on v5e-1 (BENCH_NOTES round 3); bit-equal results,
+    # identical param tree. "native" keeps the grouped conv.
+    grouped_conv_impl: str = "block_diag"
     fpn_channels: int = 256
     # RPN (test-time settings of the published config)
     anchor_sizes: T.Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)
@@ -101,6 +109,48 @@ class RCNNConfig:
         )
 
 
+class _GroupedConvBlockDiag(nn.Module):
+    """Grouped conv executed as ONE full conv with a block-diagonal kernel.
+
+    XLA:TPU lowers ``feature_group_count=32`` convs with 8-channel groups far
+    off the MXU's happy path (the ResNeXt small-group pathology — measured
+    2.1x on the backbone-only probe at ``default`` precision, 311 vs 148 ms
+    for 8 canvases); expanding the grouped kernel to a zero-filled
+    block-diagonal full kernel trades ~9x nominal conv2 FLOPs for full
+    128-lane MXU tiles. Mathematically identical (the off-block products are
+    exact zeros); the parameter keeps the NATIVE grouped shape
+    ``[kh, kw, Cin/G, Cout]`` so checkpoints and the converter are
+    impl-agnostic."""
+
+    features: int
+    kernel: int
+    stride: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        G = self.groups
+        cg = cin // G
+        cog = self.features // G
+        k = self.kernel
+        kern = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, cg, self.features),
+        )
+        w = kern.reshape(k, k, cg, G, cog)
+        eye = jnp.eye(G, dtype=kern.dtype)[None, None, :, None, :, None]
+        full = (w[:, :, None] * eye).reshape(k, k, G * cg, self.features)
+        p = (k - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x, full.astype(x.dtype),
+            (self.stride, self.stride),
+            [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ConvFrozenBN(nn.Module):
     """detectron2 ``Conv2d(..., bias=False, norm=FrozenBatchNorm2d)``."""
 
@@ -108,19 +158,26 @@ class ConvFrozenBN(nn.Module):
     kernel: int
     stride: int = 1
     groups: int = 1
+    conv_impl: str = "native"   # "native" | "block_diag" (groups > 1 only)
 
     @nn.compact
     def __call__(self, x):
         p = (self.kernel - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            feature_group_count=self.groups,
-            use_bias=False,
-            name="conv",
-        )(x)
+        if self.groups > 1 and self.conv_impl == "block_diag":
+            x = _GroupedConvBlockDiag(
+                self.features, self.kernel, self.stride, self.groups,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(p, p), (p, p)],
+                feature_group_count=self.groups,
+                use_bias=False,
+                name="conv",
+            )(x)
         return BatchNormInference(name="norm")(x)
 
 
@@ -134,6 +191,7 @@ class BottleneckX(nn.Module):
     groups: int
     stride_in_1x1: bool
     has_shortcut: bool
+    conv_impl: str = "native"
 
     @nn.compact
     def __call__(self, x):
@@ -141,7 +199,8 @@ class BottleneckX(nn.Module):
         y = ConvFrozenBN(self.bottleneck_channels, 1, s1, name="conv1")(x)
         y = jax.nn.relu(y)
         y = ConvFrozenBN(
-            self.bottleneck_channels, 3, s2, groups=self.groups, name="conv2"
+            self.bottleneck_channels, 3, s2, groups=self.groups,
+            conv_impl=self.conv_impl, name="conv2"
         )(y)
         y = jax.nn.relu(y)
         y = ConvFrozenBN(self.out_channels, 1, 1, name="conv3")(y)
@@ -176,6 +235,7 @@ class ResNeXtFPN(nn.Module):
                 x = BottleneckX(
                     out_ch, bott, stride, cfg.groups, cfg.stride_in_1x1,
                     has_shortcut=(bi == 0),
+                    conv_impl=cfg.grouped_conv_impl,
                     name=f"res{si + 2}_b{bi}",
                 )(x)
             res.append(x)

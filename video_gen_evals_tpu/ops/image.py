@@ -108,6 +108,58 @@ def crop_resize_matmul(
     return jnp.einsum("ywc,xw->yxc", t, wx, precision=hi)
 
 
+def pil_resize_weights(n_in: int, n_out: int) -> "np.ndarray":
+    """Exact PIL bilinear resample weights as a dense ``[n_out, n_in]`` f32
+    matrix (one output row = one normalized filter window).
+
+    Reproduces Pillow ``Resample.c::precompute_coeffs`` for the BILINEAR
+    filter over the full extent: ``center = (i + 0.5) * scale``, filter
+    support scaled by ``max(scale, 1)`` — so DOWNsampling antialiases with a
+    widened triangle window and UPsampling degenerates to classic 2-tap
+    bilinear; out-of-range taps are dropped and the remaining window
+    renormalized (PIL's edge rule — NOT index clamping).
+
+    detectron2's ``ResizeShortestEdge`` resizes frames via
+    ``PIL.Image.resize(..., BILINEAR)`` (d2 ``transform.py``), so this is the
+    parity-exact weight set for the DefaultPredictor full-frame resize (ref
+    ``mesh_generator.py:74``); PIL's uint8 path additionally quantizes
+    coefficients to 8-bit fixed point, bounding it within ~1 LSB of this
+    continuous form. Weights are static per (n_in, n_out) — compute host-side
+    once, close over them as constants.
+    """
+    import numpy as np
+
+    scale = n_in / n_out
+    fscale = max(scale, 1.0)
+    support = 1.0 * fscale                       # bilinear filter support = 1
+    out = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        center = (i + 0.5) * scale
+        # C int casts truncate toward zero; both operands are >= -support
+        # so max(..., 0) first reproduces the C behavior for the low edge.
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), n_in)
+        x = np.arange(lo, hi, dtype=np.float64)
+        w = 1.0 - np.abs((x - center + 0.5) / fscale)
+        w = np.maximum(w, 0.0)
+        out[i, lo:hi] = w / w.sum()
+    return out.astype(np.float32)
+
+
+def resize_pil_matmul(img: jnp.ndarray, out_hw: T.Tuple[int, int]) -> jnp.ndarray:
+    """Full-image resize with PIL-BILINEAR semantics as two MXU matmuls:
+    ``Wy @ img @ Wx^T`` with :func:`pil_resize_weights` rows. Static shapes
+    only (the weights are trace-time constants); pinned to
+    ``Precision.HIGHEST`` like :func:`crop_resize_matmul`."""
+    H, W, C = img.shape
+    oh, ow = out_hw
+    wy = jnp.asarray(pil_resize_weights(H, oh), img.dtype)
+    wx = jnp.asarray(pil_resize_weights(W, ow), img.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.dot(wy, img.reshape(H, W * C), precision=hi).reshape(oh, W, C)
+    return jnp.einsum("ywc,xw->yxc", t, wx, precision=hi)
+
+
 def batched_person_crops(
     frames: jnp.ndarray,             # [N, H, W, 3] float32 (RGB, 0..255)
     boxes_xyxy: jnp.ndarray,         # [N, 4] person boxes (pixels)

@@ -49,7 +49,11 @@ from ..models.pose2d import (
 )
 from ..models.smpl_head import SMPLHeadConfig, SMPLTokenDecoderHead
 from ..models.vit import ViTBackbone, ViTConfig
-from ..ops.image import batched_person_crops, crop_resize_matmul
+from ..ops.image import (
+    batched_person_crops,
+    crop_resize_matmul,
+    resize_pil_matmul,
+)
 from ..utils.io import ResumableLedger, save_video_npz
 
 # ImageNet-ish crop normalization (0..255 scale), matching top-down defaults
@@ -261,9 +265,11 @@ class Extractor:
                     (H, W), rc.min_size_test, rc.max_size_test
                 )
                 ch_, cw_ = pad_to_divisible((rh, rw))
-                full_box = jnp.stack([W / 2.0, H / 2.0, jnp.float32(W), jnp.float32(H)])
+                # PIL-BILINEAR semantics (d2 ResizeShortestEdge resizes via
+                # PIL.Image.resize, incl. antialias when downsampling) — not
+                # the crop-gather convention the mesh/pose crops use.
                 resized = jax.vmap(
-                    lambda f: crop_resize_matmul(f, full_box, (rh, rw))
+                    lambda f: resize_pil_matmul(f, (rh, rw))
                 )(frames_f32)
                 bgr = resized[..., ::-1] - jnp.asarray(PIXEL_MEAN_BGR)
                 canvas = jnp.pad(
