@@ -152,6 +152,53 @@ class Extractor:
         self.params = params
         self._build_jits()
 
+    @classmethod
+    def from_checkpoints(
+        cls,
+        config: T.Optional[ExtractorConfig] = None,
+        *,
+        tokenhmr: T.Optional[str] = None,
+        dwpose: T.Optional[str] = None,
+        yolox: T.Optional[str] = None,
+        rcnn: T.Optional[str] = None,
+        rng=None,
+    ) -> "Extractor":
+        """Build an Extractor with the published pretrained weights.
+
+        Each argument is a checkpoint file for one network (see
+        ``pipelines/weights.py`` for accepted formats); nets without a file
+        keep their random init. Providing a file switches that net's config
+        to its published geometry and, for ``rcnn``, selects the R-CNN mesh
+        detector — so ``Extractor.from_checkpoints(tokenhmr=..., dwpose=...,
+        yolox=..., rcnn=...)`` reproduces the reference's full pretrained
+        stack (ref ``mesh_generator.py:35-78``, ``dwpose_init.py``).
+        """
+        from .weights import (
+            extraction_params_from_checkpoints,
+            load_torch_state_dict,
+            published_config,
+        )
+
+        # load each file once; helpers accept preloaded dicts
+        tokenhmr = load_torch_state_dict(tokenhmr) if tokenhmr else None
+        cfg = published_config(
+            config or ExtractorConfig(),
+            tokenhmr=tokenhmr, dwpose=dwpose, yolox=yolox, rcnn=rcnn,
+        )
+        ex = cls(cfg, rng=rng)
+        converted = extraction_params_from_checkpoints(
+            cfg, tokenhmr=tokenhmr, dwpose=dwpose, yolox=yolox, rcnn=rcnn
+        )
+        if cfg.param_dtype == "bfloat16":
+            converted = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == np.float32
+                else a,
+                converted,
+            )
+        ex.params.update(converted)
+        return ex
+
     # ------------------------------------------------------------------
     def _build_jits(self) -> None:
         cfg = self.cfg
@@ -829,10 +876,28 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "X101-FPN (the reference's detector family, ref "
                         "mesh_generator.py:69-74); 'yolox' = shared fast "
                         "detector (see PARITY.md box-sensitivity study)")
+    p.add_argument("--tokenhmr-ckpt", default=None,
+                   help="TokenHMR checkpoint (tokenhmr_model_latest.ckpt / "
+                        ".pt / .npz): ViT-H backbone + SMPL token head")
+    p.add_argument("--dwpose-ckpt", default=None,
+                   help="DWPose wholebody pose net, mmpose dwpose_l layout "
+                        "(.pth / .npz)")
+    p.add_argument("--yolox-ckpt", default=None,
+                   help="DWPose person detector, Megvii yolox_l layout "
+                        "(.pth / .npz)")
+    p.add_argument("--rcnn-ckpt", default=None,
+                   help="Faster R-CNN X101-FPN detectron2 checkpoint (.pkl "
+                        "/ .pt); implies --mesh-detector rcnn")
     args = p.parse_args(argv)
 
-    ex = Extractor(ExtractorConfig(kp_bug_compat=args.bug_compat,
-                                   mesh_detector=args.mesh_detector))
+    ex = Extractor.from_checkpoints(
+        ExtractorConfig(kp_bug_compat=args.bug_compat,
+                        mesh_detector=args.mesh_detector),
+        tokenhmr=args.tokenhmr_ckpt,
+        dwpose=args.dwpose_ckpt,
+        yolox=args.yolox_ckpt,
+        rcnn=args.rcnn_ckpt,
+    )
     counts = ex.run_tree(
         args.videos,
         args.out_meshes,
