@@ -425,3 +425,44 @@ def test_ac_scorer_matches_reference_eval(ref_eval_mod):
     )
     for i, v in enumerate(uniq):
         np.testing.assert_allclose(got[i], want[v], rtol=1e-5, err_msg=v)
+
+
+def test_pk_sampler_matches_reference_bitwise(ref_utils_mod):
+    """Our PKBatchSampler == the reference's own sampler (ref
+    ``utils.py:922-1015``) BITWISE on a shared numpy Generator stream.
+
+    Both samplers are numpy-``Generator`` driven, so exact parity is testable
+    (unlike the torch-RNG paths, which SURVEY §7.4.5 scopes to distributional
+    equivalence). The only stream offset is the reference's constructor-time
+    ``_reset_epoch`` (consumed and discarded — ``__iter__`` resets again),
+    which the test replays onto our generator before comparing two epochs,
+    covering the wrap-reshuffle cursor and replacement top-up paths."""
+    from video_gen_evals_tpu.data.sampler import PKBatchSampler
+
+    labels = [0] * 7 + [1] * 13 + [2] * 5 + [3] * 9
+    rng = np.random.default_rng(123)
+    labels = list(rng.permutation(np.array(labels)))
+    P, K = 3, 4
+
+    ref = ref_utils_mod.PKBatchSampler(
+        labels, P=P, K=K, generator=np.random.default_rng(7)
+    )
+
+    ours_rng = np.random.default_rng(7)
+    # replay the reference's __init__-time _reset_epoch RNG consumption
+    # (per-class queue shuffles in label-first-occurrence order, then the
+    # class-order shuffle); the state it builds is discarded by __iter__.
+    by_class: dict = {}
+    for idx, y in enumerate(labels):
+        by_class.setdefault(int(y), []).append(idx)
+    for c, idxs in by_class.items():
+        ours_rng.shuffle(np.array(idxs))
+    ours_rng.shuffle(list(by_class.keys()))
+
+    ours = PKBatchSampler(labels, P=P, K=K, rng=ours_rng)
+    assert len(ours) == len(ref)
+
+    for epoch in range(3):
+        ref_batches = [list(b) for b in ref]
+        our_batches = [list(np.asarray(b)) for b in ours]
+        assert our_batches == ref_batches, f"epoch {epoch} diverged"

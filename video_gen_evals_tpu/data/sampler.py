@@ -7,9 +7,14 @@ from the full class pool when a queue runs dry; class order cycles through a
 shuffled list with reshuffle-on-wrap; batches themselves are shuffled; epoch
 length = total_windows // (P*K).
 
-Host-side index generator (numpy RNG) feeding device batches; the semantics
-(not torch's bitstream) are reproduced — distributional equivalence, as
-documented in SURVEY §7.4 item 5.
+Host-side index generator (numpy RNG) feeding device batches. Because the
+reference sampler is itself numpy-``Generator`` driven (not torch RNG), the
+parity here is BITWISE, not merely distributional: given the same generator
+stream, batches match the reference's exactly — verified over multiple
+epochs (incl. wrap-reshuffle and replacement top-up) against the reference's
+own class in ``tests/test_reference_oracle.py::
+test_pk_sampler_matches_reference_bitwise``. The only stream offset is the
+reference's constructor-time ``_reset_epoch`` (consumed and discarded).
 """
 
 from __future__ import annotations
