@@ -116,21 +116,22 @@ def main() -> None:
     # BENCH_ENCODER=module forces the flax forward
     precision = os.environ.get("BENCH_PRECISION", "high")
     default_encoder = (
-        "kernel"
+        "mm"
         if jax.default_backend() == "tpu" and precision == "high" and batch % 32 == 0
         else "module"
     )
     encoder_impl = os.environ.get("BENCH_ENCODER", default_encoder)
-    if encoder_impl in ("kernel", "chain", "chain2", "stacked"):
+    if encoder_impl in ("kernel", "mm", "chain", "chain2", "stacked"):
         from video_gen_evals_tpu.models.fused_apply import block_kernel_forward
 
         fusion = {"chain": "chain", "chain2": "chain2",
                   "stacked": "stacked"}.get(encoder_impl, "stage")
+        conv_variant = "mm_first" if encoder_impl == "mm" else "slice"
 
         def forward(params, w):
             seq, frames_emb, _ = block_kernel_forward(
                 cfg, params, w, block_windows=32, precision="high",
-                stage_fusion=fusion,
+                stage_fusion=fusion, conv_variant=conv_variant,
             )
             return seq, frames_emb
     else:

@@ -20,8 +20,12 @@ from video_gen_evals_tpu.ops.conv_kernel import fused_temporal_block
 
 
 @pytest.mark.parametrize("dilation", [1, 2, 4, 8])
-@pytest.mark.parametrize("precision,atol", [("highest", 2e-5), ("high", 1e-4)])
-def test_fused_block_matches_module(rng, dilation, precision, atol):
+@pytest.mark.parametrize(
+    "precision,variant,atol",
+    [("highest", "slice", 2e-5), ("high", "slice", 1e-4),
+     ("high", "mm_first", 1e-4)],
+)
+def test_fused_block_matches_module(rng, dilation, precision, variant, atol):
     B, T, C = 8, 32, 256
     blk = TemporalConvBlock(C, dilation=dilation, dropout=0.0)
     x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
@@ -36,6 +40,7 @@ def test_fused_block_matches_module(rng, dilation, precision, atol):
         dilation=dilation,
         block_windows=4,
         precision=precision,
+        variant=variant,
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)

@@ -193,6 +193,7 @@ def block_kernel_forward(
     precision: str = "high",
     interpret: bool = False,
     stage_fusion: str = "stage",
+    conv_variant: str = "slice",
 ) -> T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Deterministic forward with the residual conv stages running in the
     fused Pallas kernel (``ops/conv_kernel.py``) and everything else on the
@@ -205,6 +206,8 @@ def block_kernel_forward(
     ``stage_fusion``: "stage" (one kernel per residual stage) or "chain"
     (all 4 stages in one launch with HBM-resident weight DMA — requires
     precision "high"; see ``ops/chain_kernel.py``).
+    ``conv_variant``: in-kernel tap formulation for the per-stage kernel —
+    "slice" or "mm_first" (``ops/conv_kernel.py``).
     """
     from ..ops.conv_kernel import fused_temporal_block
     if stage_fusion in ("chain", "chain2"):
@@ -261,6 +264,7 @@ def block_kernel_forward(
                 dilation=dil,
                 block_windows=block_windows,
                 precision=precision,
+                variant=conv_variant,
                 interpret=interpret,
             )
         return y @ p["proj"]["kernel"]

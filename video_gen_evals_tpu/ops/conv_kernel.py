@@ -123,6 +123,57 @@ def _block_kernel_high(
     out_ref[...] = hn * gs_ref[0][None, None, :] + gb_ref[0][None, None, :]
 
 
+def _block_kernel_high_mm(
+    x_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, gs_ref, gb_ref, out_ref,
+    *, dilation: int, t_len: int,
+):
+    """Matmul-first formulation of the bf16_3x stage (round-3 take 3).
+
+    The slice-first kernel pads activations into a VMEM scratch and slices a
+    shifted [BW*T, C] operand per tap — 5 operand retilings per conv. Here
+    each tap's matmul runs on the UNPADDED activations instead (the
+    [BW, T, C] -> [BW*T, C] merge is layout-free), using shift-invariance of
+    the conv: z_j = x @ w_j, then y[t] += z_j[t + (j-2)*dil] as 5 static
+    shifted VPU adds with zero edges (window boundaries never mix — shifts
+    stay inside each window's T axis). Identical MXU work and bf16_3x
+    numerics; no padded scratch, no per-tap operand relayout.
+    """
+    BW, _, C = x_ref.shape
+    x = x_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    d = lambda u, v: jax.lax.dot_general(
+        u, v, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    def conv5(src, wh_ref, wl_ref):
+        a = src.reshape(BW * t_len, C)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = None
+        for j in range(_K):
+            z = (
+                d(a_hi, wh_ref[j]) + d(a_hi, wl_ref[j]) + d(a_lo, wh_ref[j])
+            ).reshape(BW, t_len, C)
+            o = (j - _K // 2) * dilation      # y[t] += z[t + o]
+            if o == 0:
+                acc = z if acc is None else acc + z
+            else:
+                zp = jnp.pad(
+                    z[:, o:, :] if o > 0 else z[:, : t_len + o, :],
+                    ((0, 0), (0, o) if o > 0 else (-o, 0), (0, 0)),
+                )
+                acc = zp if acc is None else acc + zp
+        return acc
+
+    h = _gelu(conv5(x, w1h_ref, w1l_ref))
+    h = _gelu(conv5(h, w2h_ref, w2l_ref) + x)
+    mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
+    var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
+    hn = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+    out_ref[...] = hn * gs_ref[0][None, None, :] + gb_ref[0][None, None, :]
+
+
 def _block_kernel_f32(
     x_ref, w1_ref, w2_ref, gs_ref, gb_ref, out_ref, xp,
     *, dilation: int, t_len: int,
@@ -247,12 +298,16 @@ def fused_temporal_block(
     dilation: int,
     block_windows: int = 32,
     precision: str = "high",
+    variant: str = "slice",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused residual dilated-conv stage over a window batch.
 
     ``precision``: "high" (bf16_3x, matches XLA's default scoring precision)
     or "highest" (full f32).
+    ``variant`` (precision "high" only): "slice" (padded-scratch shifted
+    operands) or "mm_first" (matmul on unpadded activations + shifted output
+    accumulation — see ``_block_kernel_high_mm``).
     """
     B, t_len, C = x.shape
     if B % block_windows != 0:
@@ -271,9 +326,15 @@ def fused_temporal_block(
     if precision == "high":
         w1h, w1l = split_bf16(w1)
         w2h, w2l = split_bf16(w2)
-        kernel = functools.partial(
-            _block_kernel_high, dilation=dilation, t_len=t_len
-        )
+        if variant == "mm_first":
+            kernel = functools.partial(
+                _block_kernel_high_mm, dilation=dilation, t_len=t_len
+            )
+            scratch = []
+        else:
+            kernel = functools.partial(
+                _block_kernel_high, dilation=dilation, t_len=t_len
+            )
         return pl.pallas_call(
             kernel,
             grid=(B // block_windows,),

@@ -164,10 +164,16 @@ class WindowEncoder:
             interp = jax.default_backend() != "tpu"
 
             def _forward(params, w):
+                # per-stage kernels use the matmul-first tap formulation
+                # (round-3 take 3: +4-6% end-to-end over the slice-first
+                # padded-scratch variant — BENCH_NOTES)
                 seq, frames, _ = block_kernel_forward(
                     self.model.config, params, w,
                     block_windows=bw, precision="high", interpret=interp,
                     stage_fusion=self._stage_fusion,
+                    conv_variant=(
+                        "mm_first" if self._stage_fusion == "stage" else "slice"
+                    ),
                 )
                 return seq, frames
         else:
