@@ -49,11 +49,17 @@ def main() -> None:
 
     for prec in precs:
       for impl in impls:
+        base = (
+            RCNNConfig.fast()
+            if os.environ.get("BENCH_PRESET") == "fast"
+            else RCNNConfig.x101_32x8d()
+        )
+        width = int(os.environ.get("BENCH_WIDTH", base.grouped_conv_width))
         ex = Extractor(
             ExtractorConfig(
                 mesh_detector="rcnn",
                 rcnn=dataclasses.replace(
-                    RCNNConfig.x101_32x8d(), grouped_conv_impl=impl
+                    base, grouped_conv_impl=impl, grouped_conv_width=width
                 ),
                 matmul_precision=prec,
                 keep_all_frames=True,

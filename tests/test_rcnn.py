@@ -568,10 +568,22 @@ def test_grouped_conv_block_diag_matches_native(small_pair):
     cfg, _, params = small_pair
     x = jnp.asarray(_canvas(7))
     feats = {}
-    for impl in ("native", "block_diag"):
-        c = dataclasses.replace(cfg, grouped_conv_impl=impl)
-        feats[impl] = FasterRCNN(c).apply(
+    # width 0 = full merge; width 8 exercises the super-group path proper
+    # (m < G at the small config's res4/res5 where cg = 16/32 -> m clamps
+    # to 1 = native blocks, and cg = 4/8 at res2/res3 -> m = 2/1); width 128
+    # is the production default (full merge at this tiny geometry).
+    for impl, width in (
+        ("native", 0), ("block_diag", 0), ("block_diag", 8), ("block_diag", 128)
+    ):
+        c = dataclasses.replace(
+            cfg, grouped_conv_impl=impl, grouped_conv_width=width
+        )
+        feats[(impl, width)] = FasterRCNN(c).apply(
             {"params": params}, x, method="backbone_features"
         )
-    for i, (a, b) in enumerate(zip(feats["native"], feats["block_diag"])):
-        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5, f"p{i + 2}"
+    ref = feats[("native", 0)]
+    for key, got in feats.items():
+        for i, (a, b) in enumerate(zip(ref, got)):
+            assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5, (
+                f"{key} p{i + 2}"
+            )

@@ -58,6 +58,12 @@ class RCNNConfig:
     # (797->669 at `high`) on v5e-1 (BENCH_NOTES round 3); bit-equal results,
     # identical param tree. "native" keeps the grouped conv.
     grouped_conv_impl: str = "block_diag"
+    # block_diag dense-block channel width: 0 = merge all groups into one
+    # full conv; w = super-group blocks of w lanes (executed-FLOP expansion
+    # w/cg instead of G). 128 — one MXU lane tile — measured fastest at
+    # EVERY res-stage geometry (res4 6.4 vs 13.9 ms full / 10.7 native per
+    # conv, 8 canvases; probe_rcnn_levers, BENCH_NOTES round 3).
+    grouped_conv_width: int = 128
     fpn_channels: int = 256
     # RPN (test-time settings of the published config)
     anchor_sizes: T.Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)
@@ -80,6 +86,11 @@ class RCNNConfig:
     second_stage_candidates: int = 1000
     roi_window: int = 48
     roi_chunk: int = 128
+    # packed-pyramid buffer dtype for ROIAlign: the pool is slice-traffic
+    # bound (probe_rcnn_levers: f32 175 ms -> bf16 106 ms /8 frames), but
+    # bf16 perturbs pooled features ~4e-3 relative — exact f32 stays the
+    # parity default; the fast() preset opts in.
+    roi_dtype: str = "float32"
 
     @property
     def strides(self) -> T.Tuple[int, ...]:
@@ -88,6 +99,15 @@ class RCNNConfig:
     @classmethod
     def x101_32x8d(cls) -> "RCNNConfig":
         return cls()
+
+    @classmethod
+    def fast(cls) -> "RCNNConfig":
+        """Measured fast mode (probe_rcnn_levers, BENCH_NOTES round 3):
+        bf16 ROIAlign pyramid + window 32. NOT parity-exact — bf16 pooled
+        features carry ~4e-3 relative noise and tap spans beyond 32 cells
+        (tall/wide boxes at worst-in-level size) clamp to the window edge —
+        use for throughput-first runs; the default config stays exact."""
+        return cls(roi_dtype="bfloat16", roi_window=32)
 
     @classmethod
     def small(cls) -> "RCNNConfig":
@@ -110,22 +130,29 @@ class RCNNConfig:
 
 
 class _GroupedConvBlockDiag(nn.Module):
-    """Grouped conv executed as ONE full conv with a block-diagonal kernel.
+    """Grouped conv executed as a wider conv with a block-diagonal kernel.
 
     XLA:TPU lowers ``feature_group_count=32`` convs with 8-channel groups far
     off the MXU's happy path (the ResNeXt small-group pathology — measured
     2.1x on the backbone-only probe at ``default`` precision, 311 vs 148 ms
-    for 8 canvases); expanding the grouped kernel to a zero-filled
-    block-diagonal full kernel trades ~9x nominal conv2 FLOPs for full
-    128-lane MXU tiles. Mathematically identical (the off-block products are
-    exact zeros); the parameter keeps the NATIVE grouped shape
-    ``[kh, kw, Cin/G, Cout]`` so checkpoints and the converter are
-    impl-agnostic."""
+    for 8 canvases); zero-filling the grouped kernel into wider dense blocks
+    trades nominal FLOPs for full 128-lane MXU tiles. Mathematically
+    identical (the off-block products are exact zeros); the parameter keeps
+    the NATIVE grouped shape ``[kh, kw, Cin/G, Cout]`` so checkpoints and
+    the converter are impl-agnostic.
+
+    ``width`` picks the dense-block channel width: 0 merges ALL groups into
+    one full conv (executed-FLOP expansion = G); width w merges ``w/cg``
+    groups into each dense block, running as ``feature_group_count = G*cg/w``
+    — expansion only ``w/cg``, while each block still fills ``w`` MXU lanes
+    (the round-3 super-group probe measured the sweet spot per stage; see
+    BENCH_NOTES)."""
 
     features: int
     kernel: int
     stride: int
     groups: int
+    width: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -139,15 +166,18 @@ class _GroupedConvBlockDiag(nn.Module):
             nn.initializers.lecun_normal(),
             (k, k, cg, self.features),
         )
-        w = kern.reshape(k, k, cg, G, cog)
-        eye = jnp.eye(G, dtype=kern.dtype)[None, None, :, None, :, None]
-        full = (w[:, :, None] * eye).reshape(k, k, G * cg, self.features)
+        m = G if self.width <= 0 else max(min(self.width // cg, G), 1)
+        Gp = G // m
+        w = kern.reshape(k, k, cg, Gp, m, cog)
+        eye = jnp.eye(m, dtype=kern.dtype)[None, None, :, None, None, :, None]
+        full = (w[:, :, None] * eye).reshape(k, k, m * cg, self.features)
         p = (k - 1) // 2
         return jax.lax.conv_general_dilated(
             x, full.astype(x.dtype),
             (self.stride, self.stride),
             [(p, p), (p, p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=Gp,
         )
 
 
@@ -159,6 +189,7 @@ class ConvFrozenBN(nn.Module):
     stride: int = 1
     groups: int = 1
     conv_impl: str = "native"   # "native" | "block_diag" (groups > 1 only)
+    conv_width: int = 0         # block_diag dense-block width (0 = full)
 
     @nn.compact
     def __call__(self, x):
@@ -166,7 +197,7 @@ class ConvFrozenBN(nn.Module):
         if self.groups > 1 and self.conv_impl == "block_diag":
             x = _GroupedConvBlockDiag(
                 self.features, self.kernel, self.stride, self.groups,
-                name="conv",
+                width=self.conv_width, name="conv",
             )(x)
         else:
             x = nn.Conv(
@@ -192,6 +223,7 @@ class BottleneckX(nn.Module):
     stride_in_1x1: bool
     has_shortcut: bool
     conv_impl: str = "native"
+    conv_width: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -200,7 +232,7 @@ class BottleneckX(nn.Module):
         y = jax.nn.relu(y)
         y = ConvFrozenBN(
             self.bottleneck_channels, 3, s2, groups=self.groups,
-            conv_impl=self.conv_impl, name="conv2"
+            conv_impl=self.conv_impl, conv_width=self.conv_width, name="conv2"
         )(y)
         y = jax.nn.relu(y)
         y = ConvFrozenBN(self.out_channels, 1, 1, name="conv3")(y)
@@ -236,6 +268,7 @@ class ResNeXtFPN(nn.Module):
                     out_ch, bott, stride, cfg.groups, cfg.stride_in_1x1,
                     has_shortcut=(bi == 0),
                     conv_impl=cfg.grouped_conv_impl,
+                    conv_width=cfg.grouped_conv_width,
                     name=f"res{si + 2}_b{bi}",
                 )(x)
             res.append(x)
@@ -507,9 +540,11 @@ class FasterRCNN(nn.Module):
             proposals.shape[:2]
         )
 
+        roi_dt = jnp.dtype(cfg.roi_dtype)
+
         def one_image(args):
             fs, boxes, lv = args
-            buf, offs, hw = pack_pyramid(fs)
+            buf, offs, hw = pack_pyramid([f.astype(roi_dt) for f in fs])
             return roi_align_pyramid(
                 buf, offs, hw, cfg.strides[:4], boxes, lv,
                 out_size=cfg.roi_resolution, window=cfg.roi_window,
@@ -579,9 +614,11 @@ class FasterRCNN(nn.Module):
         cfg = self.config
         feats = self.backbone(images)
 
+        roi_dt = jnp.dtype(cfg.roi_dtype)
+
         def one_image(args):
             fs, bx, lv = args
-            buf, offs, hw = pack_pyramid(fs)
+            buf, offs, hw = pack_pyramid([f.astype(roi_dt) for f in fs])
             return roi_align_pyramid(
                 buf, offs, hw, cfg.strides[:4], bx, lv,
                 out_size=cfg.roi_resolution, window=cfg.roi_window,

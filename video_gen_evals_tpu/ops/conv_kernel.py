@@ -152,10 +152,12 @@ def _block_kernel_high_mm(
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = None
         for j in range(_K):
+            o = (j - _K // 2) * dilation      # y[t] += z[t + o]
+            if abs(o) >= t_len:
+                continue  # tap entirely outside the window: exact zero
             z = (
                 d(a_hi, wh_ref[j]) + d(a_hi, wl_ref[j]) + d(a_lo, wh_ref[j])
             ).reshape(BW, t_len, C)
-            o = (j - _K // 2) * dilation      # y[t] += z[t + o]
             if o == 0:
                 acc = z if acc is None else acc + z
             else:

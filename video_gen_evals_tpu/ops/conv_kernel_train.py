@@ -112,25 +112,51 @@ def _conv5(xp, w_ref, dot, dilation: int, t_len: int,
     return acc.reshape(BW, t_len, C)
 
 
+def _conv5_mm(src, w_ref, dot, dilation: int, t_len: int,
+              precision: str = "highest"):
+    """Matmul-first dilated conv (round-3 take 3, same trick as
+    ``conv_kernel.py::_block_kernel_high_mm``): each tap's matmul runs on
+    the UNPADDED activations — the [BW,T,C]->[BW*T,C] merge is layout-free —
+    and the conv is assembled by shift-invariance as 5 static shifted adds
+    with zero edges. No padded scratch, no per-tap operand retiling."""
+    BW, _, C = src.shape
+    a = src
+    if precision != "highest":
+        a = a.astype(jnp.bfloat16)
+    a2 = a.reshape(BW * t_len, C)
+    acc = jnp.zeros((BW, t_len, C), jnp.float32)
+    for j in range(_K):
+        o = (j - _K // 2) * dilation      # y[t] += z[t + o]
+        if abs(o) >= t_len:
+            continue  # tap reaches entirely outside the window: exact zero
+        z = dot(a2, w_ref[j]).reshape(BW, t_len, C)
+        if o == 0:
+            zp = z
+        else:
+            zp = jnp.pad(
+                z[:, o:, :] if o > 0 else z[:, : t_len + o, :],
+                ((0, 0), (0, o) if o > 0 else (-o, 0), (0, 0)),
+            )
+        acc = acc + zp
+    return acc
+
+
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(x_ref, w1_ref, w2_ref, gs_ref, gb_ref, *rest,
                 dilation: int, t_len: int, precision: str, has_mask: bool):
     if has_mask:
-        m_ref, out_ref, xp = rest
+        m_ref, out_ref = rest
     else:
-        out_ref, xp = rest
+        (out_ref,) = rest
     BW, _, C = x_ref.shape
-    pad = dilation * (_K - 1) // 2
     dot = _make_dot(precision)
     x = x_ref[...]
 
-    _pad_into(xp, x, pad, t_len)
-    a1 = _gelu(_conv5(xp, w1_ref, dot, dilation, t_len, precision))
+    a1 = _gelu(_conv5_mm(x, w1_ref, dot, dilation, t_len, precision))
     if has_mask:
         a1 = a1 * m_ref[...]
-    _pad_into(xp, a1, pad, t_len)
-    h = _gelu(_conv5(xp, w2_ref, dot, dilation, t_len, precision) + x)
+    h = _gelu(_conv5_mm(a1, w2_ref, dot, dilation, t_len, precision) + x)
     mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
     var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
     hn = (h - mu) * jax.lax.rsqrt(var + 1e-5)
@@ -158,14 +184,12 @@ def _bwd_kernel(
     dy = dy_ref[...]
     gs = gs_ref[0]
 
-    # --- rematerialised forward ---
-    _pad_into(xp, x, pad, t_len)
-    h1 = _conv5(xp, w1_ref, dot, dilation, t_len, precision)
+    # --- rematerialised forward (matmul-first taps) ---
+    h1 = _conv5_mm(x, w1_ref, dot, dilation, t_len, precision)
     d1 = _gelu(h1)
     if has_mask:
         d1 = d1 * m_ref[...]
-    _pad_into(xp, d1, pad, t_len)          # xp now holds padded d1
-    r = _conv5(xp, w2_ref, dot, dilation, t_len, precision) + x
+    r = _conv5_mm(d1, w2_ref, dot, dilation, t_len, precision) + x
     h = _gelu(r)
     mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
     var = jnp.mean((h - mu).reshape(BW, t_len * C) ** 2, axis=1).reshape(BW, 1, 1)
@@ -192,7 +216,8 @@ def _bwd_kernel(
     m2 = jnp.mean((dhn * hn).reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
     dr = rstd * (dhn - m1 - hn * m2) * _gelu_grad(r)
 
-    # --- conv2 backward: dw2 (xp still = padded d1), then dd1 ---
+    # --- conv2 backward: dw2 (tap-sliced padded d1), then dd1 ---
+    _pad_into(xp, d1, pad, t_len)
     d1p = xp[...]
     if precision != "highest":
         d1p = d1p.astype(jnp.bfloat16)
@@ -204,13 +229,12 @@ def _bwd_kernel(
         dw2_ref[j] += dot_tn(
             sl.reshape(BW * t_len, C), dr_c.reshape(BW * t_len, C)
         )
-    _pad_into(xp, dr, pad, t_len)          # xp now holds padded dh2
-    dd1 = _conv5(xp, w2t_ref, dot, dilation, t_len, precision)
+    dd1 = _conv5_mm(dr, w2t_ref, dot, dilation, t_len, precision)
     if has_mask:
         dd1 = dd1 * m_ref[...]
     dh1 = dd1 * _gelu_grad(h1)
 
-    # --- conv1 backward: dw1 needs padded x again, then dx ---
+    # --- conv1 backward: dw1 needs padded x, then dx ---
     _pad_into(xp, x, pad, t_len)
     x_p = xp[...]
     if precision != "highest":
@@ -223,8 +247,7 @@ def _bwd_kernel(
         dw1_ref[j] += dot_tn(
             sl.reshape(BW * t_len, C), dh1_c.reshape(BW * t_len, C)
         )
-    _pad_into(xp, dh1, pad, t_len)
-    dx_ref[...] = dr + _conv5(xp, w1t_ref, dot, dilation, t_len, precision)
+    dx_ref[...] = dr + _conv5_mm(dh1, w1t_ref, dot, dilation, t_len, precision)
 
 
 # ---------------------------------------------------------------- plumbing
@@ -269,7 +292,6 @@ def fused_temporal_block_train(
 def _fwd_call(x, w1, w2, gs, gb, mask, dilation, precision, interpret):
     B, t_len, C = x.shape
     bw = _pick_block(B, 32)
-    pad = dilation * (_K - 1) // 2
     if interpret is None:
         interpret = _interpret_default()
 
@@ -293,7 +315,6 @@ def _fwd_call(x, w1, w2, gs, gb, mask, dilation, precision, interpret):
         in_specs=in_specs,
         out_specs=act,
         out_shape=jax.ShapeDtypeStruct((B, t_len, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bw, t_len + 2 * pad, C), x.dtype)],
         interpret=interpret,
     )(*args)
 
