@@ -69,6 +69,10 @@ def main() -> None:
     p.add_argument("--vit-depth", type=int, default=32)
     p.add_argument("--no-decode", action="store_true",
                    help="pre-decode outside the timed region")
+    p.add_argument("--mesh-detector", default="yolox",
+                   choices=["yolox", "rcnn"],
+                   help="'rcnn' = the reference's Faster R-CNN X101-FPN "
+                        "family for the mesh crops (parity mode)")
     p.add_argument("--breakdown", action="store_true",
                    help="after the timed passes, time each stage with "
                         "completion barriers (distorts pipelining; for "
@@ -91,7 +95,11 @@ def main() -> None:
     # keep_all_frames: random (unconverted) detector weights would otherwise
     # reject every synthetic video before the mesh/pose/encoder stages run —
     # the benchmark must measure the full compute path
-    ex_cfg = ExtractorConfig(vit=ViTConfig(depth=args.vit_depth), keep_all_frames=True)
+    ex_cfg = ExtractorConfig(
+        vit=ViTConfig(depth=args.vit_depth),
+        keep_all_frames=True,
+        mesh_detector=args.mesh_detector,
+    )
     extractor = Extractor(ex_cfg)
     if args.bf16:
         extractor.params = jax.tree_util.tree_map(
@@ -244,6 +252,7 @@ def main() -> None:
                 "frames_per_video": args.frames,
                 "hw": f"{H}x{W}",
                 "vit_depth": args.vit_depth,
+                "mesh_detector": args.mesh_detector,
                 "dtype": "bfloat16" if args.bf16 else "float32",
                 "decode_included": not args.no_decode,
                 "native_decode": native_available(),

@@ -433,6 +433,10 @@ def main(argv: T.Optional[T.Sequence[str]] = None) -> int:
     ap.add_argument("--config-json", default=None,
                     help="JSON dict of config-field overrides")
     ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--allow-missing-torch", action="store_true",
+                    help="tolerate anchors absent from the torch activation "
+                         "dump (partial dumps); missing-flax/shape rows "
+                         "always fail")
     args = ap.parse_args(argv)
 
     from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
@@ -453,7 +457,15 @@ def main(argv: T.Optional[T.Sequence[str]] = None) -> int:
         f"\n{len(ok)} layers compared, {len(bad)} over tol {args.tol:g}, "
         f"{len(unmatched)} unmatched"
     )
-    return 1 if bad or not ok else 0
+    # "missing-flax"/"shape" rows mean the conversion is structurally broken
+    # (those layers were never compared) — fail as hard as a numeric
+    # mismatch. "missing-torch" = the supplied activation dump omitted an
+    # anchor; fatal too unless --allow-missing-torch opts a partial dump in.
+    fatal_unmatched = [
+        r for r in unmatched
+        if r.status != "missing-torch" or not args.allow_missing_torch
+    ]
+    return 1 if bad or fatal_unmatched or not ok else 0
 
 
 if __name__ == "__main__":

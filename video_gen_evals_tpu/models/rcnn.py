@@ -534,11 +534,12 @@ class FasterRCNN(nn.Module):
         x = jax.nn.relu(self.fc2(x))
         return self.cls_score(x), self.bbox_pred(x)
 
-    def _pool(self, feats, proposals):
+    def _pool(self, feats, proposals, levels=None):
         cfg = self.config
-        levels = assign_fpn_levels(proposals.reshape(-1, 4)).reshape(
-            proposals.shape[:2]
-        )
+        if levels is None:
+            levels = assign_fpn_levels(proposals.reshape(-1, 4)).reshape(
+                proposals.shape[:2]
+            )
 
         roi_dt = jnp.dtype(cfg.roi_dtype)
 
@@ -610,22 +611,10 @@ class FasterRCNN(nn.Module):
     def box_forward(self, images, boxes, levels):
         """Pool fixed per-image ``boxes`` [B, N, 4] at ``levels`` [B, N] and
         run the box head — replica-comparison surface that bypasses the
-        proposal machinery."""
-        cfg = self.config
+        proposal machinery. Pools via the same ``_pool`` as ``__call__`` so
+        the comparison surface can never drift from the production path."""
         feats = self.backbone(images)
-
-        roi_dt = jnp.dtype(cfg.roi_dtype)
-
-        def one_image(args):
-            fs, bx, lv = args
-            buf, offs, hw = pack_pyramid([f.astype(roi_dt) for f in fs])
-            return roi_align_pyramid(
-                buf, offs, hw, cfg.strides[:4], bx, lv,
-                out_size=cfg.roi_resolution, window=cfg.roi_window,
-                chunk=cfg.roi_chunk,
-            )
-
-        pooled = jax.lax.map(one_image, (list(feats[:4]), boxes, levels))
+        pooled = self._pool(feats, boxes, levels)
         B, N = pooled.shape[:2]
         cls_logits, deltas = self._box_head(
             pooled.reshape(B * N, *pooled.shape[2:])
@@ -689,7 +678,7 @@ def detectron2_to_flax(sd: T.Dict[str, T.Any], cfg: RCNNConfig) -> T.Dict:
         consumed.add(name)
         return np.asarray(sd[name])
 
-    def conv(prefix, grouped=False):
+    def conv(prefix):
         w = take(f"{prefix}.weight")          # [out, in/groups, kh, kw]
         out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
         if f"{prefix}.bias" in sd:

@@ -324,6 +324,14 @@ def _convert_decpose(
         wk, bk = find(f"{stem}.weight"), find(f"{stem}.bias")
         if wk is None:
             return None
+        if bk is None:
+            # the flax module always carries a bias param; a bias-less torch
+            # LayerNorm is a layout we don't model — refuse loudly rather
+            # than crash with KeyError(None)
+            raise ValueError(
+                f"decpose: LayerNorm '{stem}' has weight but no bias — "
+                "unsupported layout (torch LayerNorm(bias=False)?)"
+            )
         consumed.add(wk)
         consumed.add(bk)
         return {"scale": sub[wk], "bias": sub[bk]}

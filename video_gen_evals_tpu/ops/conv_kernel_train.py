@@ -94,24 +94,6 @@ def _pad_into(xp, src, pad: int, t_len: int):
     xp[:, pad + t_len :, :] = jnp.zeros((BW, pad, C), src.dtype)
 
 
-def _conv5(xp, w_ref, dot, dilation: int, t_len: int,
-           precision: str = "highest"):
-    """Dilated k=5 conv over the padded scratch as 5 shifted matmuls.
-
-    In "default" mode the padded buffer is cast to bf16 ONCE and the tap
-    loop slices the cast value (the per-dot cast would redo it 5x)."""
-    BW, _, C = xp.shape
-    src = xp[...]
-    if precision != "highest":
-        src = src.astype(jnp.bfloat16)
-    acc = None
-    for j in range(_K):
-        sl = src[:, j * dilation : j * dilation + t_len, :]
-        t = dot(sl.reshape(BW * t_len, C), w_ref[j])
-        acc = t if acc is None else acc + t
-    return acc.reshape(BW, t_len, C)
-
-
 def _conv5_mm(src, w_ref, dot, dilation: int, t_len: int,
               precision: str = "highest"):
     """Matmul-first dilated conv (round-3 take 3, same trick as
