@@ -587,3 +587,26 @@ def test_grouped_conv_block_diag_matches_native(small_pair):
             assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5, (
                 f"{key} p{i + 2}"
             )
+
+
+def test_fast_preset_runs_and_stays_close(small_pair):
+    """The measured fast() ROI knobs (bf16 pyramid + clamped window) run
+    end-to-end and only perturb boxes/scores within their documented
+    approximation class (~4e-3 relative pooled-feature noise)."""
+    cfg, _, params = small_pair
+    x = _canvas(11, b=1)
+    exact = FasterRCNN(cfg).apply({"params": params}, jnp.asarray(x))
+    fast_cfg = dataclasses.replace(
+        cfg, roi_dtype="bfloat16", roi_window=max(cfg.roi_window // 2, 8)
+    )
+    fast = FasterRCNN(fast_cfg).apply({"params": params}, jnp.asarray(x))
+    for k in ("boxes", "scores", "classes", "valid"):
+        assert fast[k].shape == exact[k].shape, k
+        assert np.all(np.isfinite(np.asarray(fast[k], np.float32))), k
+    # same proposal set -> scores of kept detections shift only by the bf16
+    # pooled-feature noise through the box head (loose bound, not parity)
+    ev, fv = np.asarray(exact["valid"]), np.asarray(fast["valid"])
+    if ev.any() and fv.any():
+        es = np.asarray(exact["scores"])[ev.astype(bool)]
+        fs = np.asarray(fast["scores"])[fv.astype(bool)]
+        assert abs(float(es.max()) - float(fs.max())) < 0.1
