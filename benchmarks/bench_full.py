@@ -73,6 +73,8 @@ def main() -> None:
                    choices=["yolox", "rcnn"],
                    help="'rcnn' = the reference's Faster R-CNN X101-FPN "
                         "family for the mesh crops (parity mode)")
+    p.add_argument("--rcnn-fast", action="store_true",
+                   help="use RCNNConfig.fast() (bf16 ROI + window 32)")
     p.add_argument("--breakdown", action="store_true",
                    help="after the timed passes, time each stage with "
                         "completion barriers (distorts pipelining; for "
@@ -95,10 +97,13 @@ def main() -> None:
     # keep_all_frames: random (unconverted) detector weights would otherwise
     # reject every synthetic video before the mesh/pose/encoder stages run —
     # the benchmark must measure the full compute path
+    from video_gen_evals_tpu.models.rcnn import RCNNConfig
+
     ex_cfg = ExtractorConfig(
         vit=ViTConfig(depth=args.vit_depth),
         keep_all_frames=True,
         mesh_detector=args.mesh_detector,
+        rcnn=RCNNConfig.fast() if args.rcnn_fast else None,
     )
     extractor = Extractor(ex_cfg)
     if args.bf16:
@@ -252,7 +257,8 @@ def main() -> None:
                 "frames_per_video": args.frames,
                 "hw": f"{H}x{W}",
                 "vit_depth": args.vit_depth,
-                "mesh_detector": args.mesh_detector,
+                "mesh_detector": args.mesh_detector
+                + ("-fast" if args.rcnn_fast else ""),
                 "dtype": "bfloat16" if args.bf16 else "float32",
                 "decode_included": not args.no_decode,
                 "native_decode": native_available(),

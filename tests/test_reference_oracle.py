@@ -466,3 +466,134 @@ def test_pk_sampler_matches_reference_bitwise(ref_utils_mod):
         ref_batches = [list(b) for b in ref]
         our_batches = [list(np.asarray(b)) for b in ours]
         assert our_batches == ref_batches, f"epoch {epoch} diverged"
+
+
+# ---------------------------------------------------------------------------
+# L5 reporting oracles: the reference's OWN process_human_scores.py /
+# process_scores.py run as fixtures (both import cleanly — main() guarded).
+
+
+@pytest.fixture(scope="module")
+def ref_mos_mod():
+    return _load_ref("mos", "process_human_scores.py")
+
+
+@pytest.fixture(scope="module")
+def ref_scores_mod():
+    return _load_ref("scores", "process_scores.py")
+
+
+def _synth_rater_rows(seed=3):
+    """Rater pool exercising every filter: an inconsistent-on-repeats rater
+    (stage 1), an extremes rater (stage 2 R1/R2), a too-few-ratings rater
+    (stage 2 <10), an anti-correlated rater (stage 3), and honest raters."""
+    rng = np.random.default_rng(seed)
+    n_videos = 24
+    videos = [f"videos_m{v % 3}_vid_{v:03d}.mp4" for v in range(n_videos)]
+    true_ac = rng.uniform(1.0, 5.0, n_videos)
+    true_tc = rng.uniform(1.0, 5.0, n_videos)
+    rows = []
+
+    def add(pid, v, ac, tc):
+        rows.append({
+            "participant_id": pid,
+            "video_id": videos[v],
+            "action_consistency": float(np.clip(ac, 1.0, 5.0)),
+            "physical_plausibility": float(np.clip(tc, 1.0, 5.0)),
+        })
+
+    for p in range(14):
+        pid = f"p{p:02d}"
+        n_rated = 6 if p == 3 else n_videos          # p03: stage-2 <10 reject
+        for v in rng.permutation(n_videos)[:n_rated]:
+            ac, tc = true_ac[v], true_tc[v]
+            if p == 1:                                # p01: anti-correlated
+                ac, tc = 6.0 - ac, 6.0 - tc
+            if p == 2 and v % 2 == 0:                 # p02: extremes rater
+                ac, tc = 5.0, 1.0
+            add(pid, v, ac + rng.normal(0, 0.15), tc + rng.normal(0, 0.15))
+        # every rater re-rates videos 0-2 (the stage-1 repeated set);
+        # p00 is wildly inconsistent on the repeats
+        for v in range(3):
+            jitter = 1.8 if p == 0 else 0.05
+            add(pid, v, true_ac[v] + rng.normal(0, jitter),
+                true_tc[v] + rng.normal(0, jitter))
+
+    participants: dict = {}
+    for r in rows:
+        participants.setdefault(r["participant_id"], []).append(r)
+    return participants
+
+
+def test_mos_stages_match_reference(ref_mos_mod):
+    """Every MOS filtering stage + the final z-scored MOS dict, ours vs the
+    reference's own stage functions on identical synthetic rater data (ref
+    ``process_human_scores.py:41-202``)."""
+    from video_gen_evals_tpu.human import mos as ours
+
+    data = _synth_rater_rows()
+    r1 = ref_mos_mod.stage1_repeated_video_consistency(data, None)
+    o1 = ours.stage1_repeated_video_consistency(data)
+    assert set(o1) == set(r1)
+    assert set(o1) != set(data), "stage 1 rejected nobody — fixture too tame"
+
+    for metric in ("action_consistency", "physical_plausibility"):
+        r2 = ref_mos_mod.stage2_subject_rejection(r1, metric)
+        o2 = ours.stage2_subject_rejection(o1, metric)
+        assert set(o2) == set(r2), metric
+        assert "p03" not in o2, "stage-2 <10-ratings reject not exercised"
+
+        r3 = ref_mos_mod.stage3_inter_rater_reliability(r2, metric)
+        o3 = ours.stage3_inter_rater_reliability(o2, metric)
+        assert set(o3) == set(r3), metric
+        assert "p01" not in o3, "stage-3 anti-correlated reject not exercised"
+
+        r_mos = ref_mos_mod.compute_mos_and_normalize(r3, metric)
+        o_mos = ours.compute_mos_and_normalize(o3, metric)
+        assert set(o_mos) == set(r_mos), metric
+        for v in r_mos:
+            np.testing.assert_allclose(o_mos[v], r_mos[v], atol=1e-12,
+                                       err_msg=f"{metric} {v}")
+
+
+def test_video_id_normalization_matches_reference(ref_mos_mod):
+    cases = [
+        "some/path/videos_model_clip_01.mp4",
+        "Kling_videos_JumpingJack_02.mp4",
+        "a_video_b.mp4",
+        "videos_leading.mp4",
+        "plain_name.mp4",
+        "nested/dir/x_videos_y_video_z.mp4",
+    ]
+    from video_gen_evals_tpu.human.mos import normalize_video_id
+    for c in cases:
+        assert normalize_video_id(c) == ref_mos_mod.normalize_video_id(c), c
+
+
+def test_leaderboard_parse_and_normalize_match_reference(ref_scores_mod):
+    """Filename parsing (incl. the trailing-digit model strip, the
+    action-at-index-0 fallback quirk, and the regex fallback) and the 0-100
+    normalization vs the reference's own functions (ref
+    ``process_scores.py:19-92``)."""
+    from video_gen_evals_tpu.pipelines.leaderboard import (
+        normalize_to_0_100, parse_filename,
+    )
+
+    names = [
+        "Hunyuan_BodyWeightSquats_01_08d40ea1.mp4",
+        "Opensora_768_BodyWeightSquats_01_73f1e099.mp4",   # digit strip
+        "Kling_1_6_HulaHoop_00_aa.mp4",
+        "WallPushups_01_aa.mp4",                           # action at idx 0
+        "Foo_BarBaz_01.mp4",                               # regex fallback
+        "lowercase_model_TennisSwing_9.mp4",
+        "NoActionHere_01.mp4",                             # total fallback
+        "Veo2_ThrowDiscus_03_beef.mp4",
+    ]
+    for n in names:
+        assert parse_filename(n) == ref_scores_mod.parse_filename(n), n
+
+    for args in [(3.0, 0.0, 10.0), (5.0, 5.0, 5.0), (-2.0, -4.0, 4.0),
+                 (0.7, 0.7, 0.9)]:
+        np.testing.assert_allclose(
+            normalize_to_0_100(*args), ref_scores_mod.normalize_to_0_100(*args)
+        )

@@ -888,11 +888,18 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--rcnn-ckpt", default=None,
                    help="Faster R-CNN X101-FPN detectron2 checkpoint (.pkl "
                         "/ .pt); implies --mesh-detector rcnn")
+    p.add_argument("--rcnn-fast", action="store_true",
+                   help="R-CNN throughput preset (RCNNConfig.fast(): bf16 "
+                        "ROIAlign pyramid + window 32) — measured 29.4 vs "
+                        "18.4 frames/s, NOT parity-exact (BENCH_NOTES)")
     args = p.parse_args(argv)
+
+    from ..models.rcnn import RCNNConfig
 
     ex = Extractor.from_checkpoints(
         ExtractorConfig(kp_bug_compat=args.bug_compat,
-                        mesh_detector=args.mesh_detector),
+                        mesh_detector=args.mesh_detector,
+                        rcnn=RCNNConfig.fast() if args.rcnn_fast else None),
         tokenhmr=args.tokenhmr_ckpt,
         dwpose=args.dwpose_ckpt,
         yolox=args.yolox_ckpt,
