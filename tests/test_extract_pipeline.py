@@ -172,3 +172,28 @@ def test_rcnn_single_person_filter_semantics():
     out = ex.process_video(frames)
     assert out is not None
     np.testing.assert_array_equal(out["frame_idx"], [1, 4, 7])
+
+
+def test_mesh_extraction_matches_single_device(extractor, rng):
+    """Data-parallel extraction over a dp8 mesh (frame batch sharded over
+    the ``data`` axis, params replicated) reproduces the single-device
+    outputs on identical params and frames."""
+    from video_gen_evals_tpu.parallel.mesh import make_mesh
+
+    # keep_all_frames: the random-weight detector may find zero single-person
+    # frames, which would reject the video on both paths and test nothing
+    base = tiny_extractor(keep_all_frames=True)
+    ex_m = Extractor(base.cfg, params=base.params, mesh=make_mesh(8, 1))
+    frames = rng.integers(0, 255, size=(16, 48, 40, 3)).astype(np.uint8)
+
+    base_mesh, base_kp = base.process_video_full(frames, with_keypoints=True)
+    got_mesh, got_kp = ex_m.process_video_full(frames, with_keypoints=True)
+
+    assert base_mesh is not None and got_mesh is not None
+    assert set(got_mesh) == set(base_mesh)
+    for k in base_mesh:
+        np.testing.assert_allclose(
+            got_mesh[k], base_mesh[k], atol=5e-5, err_msg=k
+        )
+    np.testing.assert_array_equal(got_kp["valid"], base_kp["valid"])
+    np.testing.assert_allclose(got_kp["kp120"], base_kp["kp120"], atol=1e-4)

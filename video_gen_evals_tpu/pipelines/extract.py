@@ -107,10 +107,18 @@ class ExtractorConfig:
 
 
 class Extractor:
-    """Batched detector + mesh net + pose net with jitted stages."""
+    """Batched detector + mesh net + pose net with jitted stages.
 
-    def __init__(self, config: T.Optional[ExtractorConfig] = None, params=None, rng=None):
+    ``mesh``: optional ``jax.sharding.Mesh`` — the extraction stages then run
+    data-parallel over its ``data`` axis (frame batch sharded, params
+    replicated, XLA inserts any collectives). Extraction is embarrassingly
+    parallel across frames, so dp scaling is the whole story; keep
+    ``frame_batch`` divisible by the mesh's data size for even shards."""
+
+    def __init__(self, config: T.Optional[ExtractorConfig] = None, params=None,
+                 rng=None, mesh=None):
         self.cfg = config or ExtractorConfig()
+        self.mesh = mesh
         cfg = self.cfg
         self.detector = YOLOXLiteDetector(cfg.det)
         self.backbone = ViTBackbone(cfg.vit)
@@ -162,6 +170,7 @@ class Extractor:
         yolox: T.Optional[str] = None,
         rcnn: T.Optional[str] = None,
         rng=None,
+        mesh=None,
     ) -> "Extractor":
         """Build an Extractor with the published pretrained weights.
 
@@ -185,7 +194,7 @@ class Extractor:
             config or ExtractorConfig(),
             tokenhmr=tokenhmr, dwpose=dwpose, yolox=yolox, rcnn=rcnn,
         )
-        ex = cls(cfg, rng=rng)
+        ex = cls(cfg, rng=rng, mesh=mesh)
         converted = extraction_params_from_checkpoints(
             cfg, tokenhmr=tokenhmr, dwpose=dwpose, yolox=yolox, rcnn=rcnn
         )
@@ -205,7 +214,34 @@ class Extractor:
         dh, dw = cfg.det.input_hw
         prec = cfg.matmul_precision
 
-        @jax.jit
+        mesh = self.mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated_sharding
+
+            _DP = batch_sharding(mesh)
+            _REP = replicated_sharding(mesh)
+            # chunks sliced/padded from a larger array carry whatever layout
+            # the slice produced — re-place them on the data axis so they
+            # match the stage jits' in_shardings exactly
+            self._put_dp = lambda x: jax.device_put(x, _DP)
+        else:
+            self._put_dp = lambda x: x
+
+        def sjit(fn, in_s):
+            """jit, data-parallel over the mesh when one is present: "dp"
+            args shard their leading (frame-batch) axis over the ``data``
+            axis, "rep" args (params, frame geometry) replicate; every
+            stage output is batch-leading, so outputs shard on ``data``."""
+            if mesh is None:
+                return jax.jit(fn)
+            return jax.jit(
+                fn,
+                in_shardings=tuple(
+                    _DP if s == "dp" else _REP for s in in_s
+                ),
+                out_shardings=_DP,
+            )
+
         def detect(params, frames_f32, frame_wh):
           with jax.default_matmul_precision(prec):
             # resize full frames to detector input (device-side)
@@ -229,7 +265,6 @@ class Extractor:
             box1 = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
             return box1, single
 
-        @jax.jit
         def mesh_forward(params_vit, params_head, frames_f32, boxes_xyxy):
           with jax.default_matmul_precision(prec):
             crops = batched_person_crops(
@@ -243,7 +278,6 @@ class Extractor:
             tokens, _fmap = self.backbone.apply({"params": params_vit}, crops)
             return self.head.apply({"params": params_head}, tokens)
 
-        @jax.jit
         def pose_forward(params_pose, frames_f32, boxes_xyxy, frame_wh):
           with jax.default_matmul_precision(prec):
             ph, pw = cfg.pose.input_hw
@@ -280,7 +314,6 @@ class Extractor:
             )
             return kps134, sc134
 
-        @jax.jit
         def kp_post(kps134, sc134, frame_wh):
             """Batched DWPose postprocess + 120-d flatten over all frames at
             once (each frame holds the single detected person, P=1). Replaces
@@ -299,7 +332,6 @@ class Extractor:
                 resize_shortest_edge,
             )
 
-            @jax.jit
             def detect_rcnn(params, frames_f32):
               with jax.default_matmul_precision(prec):
                 # DefaultPredictor preprocessing, device-side (ref
@@ -355,15 +387,15 @@ class Extractor:
                 )[:, 0]
                 return box1, single
 
-            self._detect_rcnn = detect_rcnn
+            self._detect_rcnn = sjit(detect_rcnn, ("rep", "dp"))
         else:
             self._detect_rcnn = None
 
-        self._detect = detect
-        self._mesh_forward = mesh_forward
-        self._pose_forward = pose_forward
-        self._kp_post = kp_post
-        self._to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32))
+        self._detect = sjit(detect, ("rep", "dp", "rep"))
+        self._mesh_forward = sjit(mesh_forward, ("rep", "rep", "dp", "dp"))
+        self._pose_forward = sjit(pose_forward, ("rep", "dp", "dp", "rep"))
+        self._kp_post = sjit(kp_post, ("dp", "dp", "rep"))
+        self._to_f32 = sjit(lambda u8: u8.astype(jnp.float32), ("dp",))
 
     # ------------------------------------------------------------------
     def _batched(self, fn, frames, *extra, fetch: bool = True,
@@ -389,8 +421,8 @@ class Extractor:
                 ce = e[lo : lo + B]
                 if pad:
                     ce = jnp.concatenate([ce, jnp.repeat(ce[-1:], pad, axis=0)])
-                extras.append(jnp.asarray(ce))
-            out = fn(jnp.asarray(chunk), *extras)
+                extras.append(self._put_dp(jnp.asarray(ce)))
+            out = fn(self._put_dp(jnp.asarray(chunk)), *extras)
             if pad:
                 out = jax.tree_util.tree_map(lambda x: x[:-pad], out)
             outs.append(out)
@@ -486,7 +518,7 @@ class Extractor:
                 box_pose,
                 fetch=False,
             )
-            kp120, valid = self._kp_post(kps134, sc134, wh)
+            kp120, valid = self._kp_post(self._put_dp(kps134), self._put_dp(sc134), wh)
 
         single_np = np.asarray(single)
         if self.cfg.keep_all_frames:
@@ -595,7 +627,7 @@ class Extractor:
                 box_pose,
                 fetch=False,
             )
-            kp120, kvalid = self._kp_post(kps134, sc134, wh)
+            kp120, kvalid = self._kp_post(self._put_dp(kps134), self._put_dp(sc134), wh)
             kp120 = np.asarray(kp120)
             kvalid = np.asarray(kvalid)
 
@@ -661,7 +693,7 @@ class Extractor:
             fetch=False,
         )
 
-        kp120, valid = self._kp_post(kps134, sc134, wh)
+        kp120, valid = self._kp_post(self._put_dp(kps134), self._put_dp(sc134), wh)
         valid = np.asarray(valid)
         if self.cfg.keep_all_frames:
             valid = np.ones_like(valid, dtype=bool)
@@ -892,14 +924,25 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                    help="R-CNN throughput preset (RCNNConfig.fast(): bf16 "
                         "ROIAlign pyramid + window 32) — measured 29.4 vs "
                         "18.4 frames/s, NOT parity-exact (BENCH_NOTES)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard every extraction stage data-parallel over an "
+                        "N-device mesh (frame batch on the 'data' axis; "
+                        "0 = single device)")
     args = p.parse_args(argv)
 
     from ..models.rcnn import RCNNConfig
+
+    mesh = None
+    if args.mesh_data > 0:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data, 1)
 
     ex = Extractor.from_checkpoints(
         ExtractorConfig(kp_bug_compat=args.bug_compat,
                         mesh_detector=args.mesh_detector,
                         rcnn=RCNNConfig.fast() if args.rcnn_fast else None),
+        mesh=mesh,
         tokenhmr=args.tokenhmr_ckpt,
         dwpose=args.dwpose_ckpt,
         yolox=args.yolox_ckpt,
