@@ -597,3 +597,82 @@ def test_leaderboard_parse_and_normalize_match_reference(ref_scores_mod):
         np.testing.assert_allclose(
             normalize_to_0_100(*args), ref_scores_mod.normalize_to_0_100(*args)
         )
+
+
+def test_leaderboard_table_matches_reference_main(ref_scores_mod, tmp_path,
+                                                  monkeypatch):
+    """The FULL comparison-table build (grouping, min-max normalization,
+    rounding, aggregation, None cells for missing model/action pairs) vs the
+    reference's own ``main()`` run on the same scores.json in a temp tree
+    (ref ``process_scores.py:95-226``: reads static/images/scores.json,
+    writes static/images/comparison_table.json relative to CWD)."""
+    import json
+
+    from video_gen_evals_tpu.pipelines.leaderboard import build_leaderboard
+
+    rng = np.random.default_rng(11)
+    actions = ["BodyWeightSquats", "JumpingJack", "PullUps"]
+    models = ["Hunyuan", "Opensora_768", "Kling_1_6"]
+    scores = {}
+    i = 0
+    for m in models:
+        for a in actions:
+            if m == "Kling_1_6" and a == "PullUps":
+                continue  # exercise the None cell
+            for v in range(3):
+                scores[f"{m}_{a}_{v:02d}_{i:08x}.mp4"] = {
+                    "ac": float(rng.normal(0.3, 0.1)),
+                    "tc": float(rng.normal(0.25, 0.08)),
+                }
+                i += 1
+    scores["unparseable_noise.mp4"] = {"ac": 9.9, "tc": 9.9}
+
+    (tmp_path / "static" / "images").mkdir(parents=True)
+    with open(tmp_path / "static" / "images" / "scores.json", "w") as f:
+        json.dump(scores, f)
+    monkeypatch.chdir(tmp_path)
+    ref_scores_mod.main()
+    with open(tmp_path / "static" / "images" / "comparison_table.json") as f:
+        ref_table = json.load(f)
+
+    ours = json.loads(json.dumps(build_leaderboard(scores)))  # normalize types
+    assert ours == ref_table
+
+
+def test_mos_full_pipeline_matches_reference_main(ref_mos_mod, tmp_path,
+                                                  monkeypatch):
+    """End-to-end MOS: our process_human_scores vs the reference's own
+    ``main()`` (ref ``process_human_scores.py:230-283``) on identical raw
+    ratings. The reference hardcodes input 'raw_humans.json' but parses it
+    with csv.DictReader — so the fixture writes CSV CONTENT under that name
+    for the reference, and the same content as a .csv for our CLI path."""
+    import csv as _csv
+    import json
+
+    from video_gen_evals_tpu.human.mos import process_human_scores
+
+    rows = [r for rs in _synth_rater_rows(seed=5).values() for r in rs]
+    fields = ["participant_id", "video_id", "action_consistency",
+              "physical_plausibility"]
+
+    def write_csv(path):
+        with open(path, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=fields)
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+
+    write_csv(tmp_path / "raw_humans.json")   # reference input (CSV content)
+    write_csv(tmp_path / "ours.csv")
+    monkeypatch.chdir(tmp_path)
+    ref_mos_mod.main()
+    with open(tmp_path / "human_scores.json") as f:
+        ref_out = json.load(f)
+
+    ours = process_human_scores(str(tmp_path / "ours.csv"))
+    assert set(ours) == set(ref_out)
+    for vid in ref_out:
+        np.testing.assert_allclose(ours[vid]["ac"], ref_out[vid]["ac"],
+                                   atol=1e-12, err_msg=vid)
+        np.testing.assert_allclose(ours[vid]["tc"], ref_out[vid]["tc"],
+                                   atol=1e-12, err_msg=vid)
