@@ -264,3 +264,50 @@ def test_experiment_end_to_end(tiny_env):
         jax.tree_util.tree_leaves(restored),
     ):
         assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_optimizer_matches_torch_adamw_cosine():
+    """make_optimizer (optax adamw + cosine_decay_schedule) reproduces the
+    reference's torch AdamW(lr=3e-4, default wd=0.01) + per-step
+    CosineAnnealingLR(eta_min=1e-6) update math (ref ``train.py:163,184,
+    275``) on identical params/grads over several steps — pins bias
+    correction, eps placement, decoupled weight decay, and the schedule's
+    step indexing."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    from video_gen_evals_tpu.train.step import make_optimizer
+
+    lr, total_steps, eta_min = 3e-4, 7, 1e-6
+    rng = np.random.default_rng(0)
+    shapes = [(5, 3), (3,), (4, 4)]
+    params_np = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+    grads_np = [
+        [rng.standard_normal(s).astype(np.float32) for s in shapes]
+        for _ in range(total_steps)
+    ]
+
+    # torch reference
+    tp = [torch.nn.Parameter(torch.from_numpy(p.copy())) for p in params_np]
+    opt = torch.optim.AdamW(tp, lr=lr)  # default weight_decay=0.01
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=total_steps, eta_min=eta_min
+    )
+    for g in grads_np:
+        for p, gp in zip(tp, g):
+            p.grad = torch.from_numpy(gp.copy())
+        opt.step()
+        sched.step()
+
+    # ours
+    tx = make_optimizer(lr, total_steps, eta_min=eta_min)
+    params = [jnp.asarray(p) for p in params_np]
+    state = tx.init(params)
+    for g in grads_np:
+        updates, state = tx.update([jnp.asarray(x) for x in g], state, params)
+        params = optax.apply_updates(params, updates)
+
+    for ours, ref in zip(params, tp):
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.detach().numpy(), rtol=1e-5, atol=1e-7
+        )
