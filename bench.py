@@ -127,10 +127,13 @@ def main() -> None:
         fusion = {"chain": "chain", "chain2": "chain2",
                   "stacked": "stacked"}.get(encoder_impl, "stage")
         conv_variant = "mm_first" if encoder_impl == "mm" else "slice"
+        # mm_first has no padded scratch, so block_windows=64 fits VMEM
+        # (the slice variant's scratch blew it at 64 — BENCH_NOTES round 2)
+        bench_bw = int(os.environ.get("BENCH_BW", 32))
 
         def forward(params, w):
             seq, frames_emb, _ = block_kernel_forward(
-                cfg, params, w, block_windows=32, precision="high",
+                cfg, params, w, block_windows=bench_bw, precision="high",
                 stage_fusion=fusion, conv_variant=conv_variant,
             )
             return seq, frames_emb
