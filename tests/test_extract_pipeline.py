@@ -197,3 +197,25 @@ def test_mesh_extraction_matches_single_device(extractor, rng):
         )
     np.testing.assert_array_equal(got_kp["valid"], base_kp["valid"])
     np.testing.assert_allclose(got_kp["kp120"], base_kp["kp120"], atol=1e-4)
+
+
+def test_mesh_extraction_rcnn_matches_single_device(rng):
+    """dp8-mesh equivalence for the R-CNN detect path: the sharded
+    detect_rcnn + mesh stages reproduce single-device boxes/outputs."""
+    from video_gen_evals_tpu.models.rcnn import RCNNConfig
+    from video_gen_evals_tpu.parallel.mesh import make_mesh
+
+    base = tiny_extractor(
+        mesh_detector="rcnn", rcnn=RCNNConfig.small(),
+        keep_all_frames=True, rcnn_frame_batch=8,
+    )
+    ex_m = Extractor(base.cfg, params=base.params, mesh=make_mesh(8, 1))
+    frames = rng.integers(0, 255, size=(8, 48, 40, 3)).astype(np.uint8)
+
+    base_mesh, _ = base.process_video_full(frames)
+    got_mesh, _ = ex_m.process_video_full(frames)
+    assert base_mesh is not None and got_mesh is not None
+    for k in base_mesh:
+        np.testing.assert_allclose(
+            got_mesh[k], base_mesh[k], atol=5e-5, err_msg=k
+        )
