@@ -165,3 +165,50 @@ def test_streamed_extraction_rejects_per_video(rng):
         assert mesh_by[name] is not None
         assert mesh_by[name]["vit"].shape[0] == 10
         assert kp_by[name] is not None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_full_pipeline_with_meshed_extractor_matches(rng):
+    """Config-4 composition on a dp8 mesh: score_videos_end_to_end with a
+    mesh-sharded extractor (ViT/head/pose stages data-parallel over the
+    frame batch) produces the same per-video AC/TC as the single-device
+    extractor on identical params and frames."""
+    from video_gen_evals_tpu.pipelines.extract import Extractor
+    from video_gen_evals_tpu.parallel import make_mesh
+
+    base = _stub_single_person_detect(tiny_extractor())
+    meshed = _stub_single_person_detect(
+        Extractor(base.cfg, params=base.params, mesh=make_mesh(8, 1))
+    )
+
+    dims_raw = {"vit": 32, "global": 9, "pose": 207, "beta": 10}
+    dims_diff = {"vit": 32, "global": 3, "pose": 69, "beta": 10}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32,
+                               time_layers=1, time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=8)
+
+    frames_by_video = {
+        f"GenX_JumpingJack_{i:02d}": rng.integers(
+            0, 255, size=(12, 48, 40, 3)
+        ).astype(np.uint8)
+        for i in range(2)
+    }
+    label_dict = {"JumpingJack": 0}
+    centroids = rng.normal(size=(1, 32)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=-1, keepdims=True)
+
+    results = [
+        score_videos_end_to_end(
+            ex, model, params, frames_by_video, centroids, label_dict,
+            cfg=ScoreConfig(clip_len=8, stride=8, batch_size=8),
+            with_keypoints=False,
+        )
+        for ex in (base, meshed)
+    ]
+    assert set(results[0].scores) == set(results[1].scores)
+    for name in results[0].scores:
+        for k in ("ac", "tc"):
+            np.testing.assert_allclose(
+                results[1].scores[name][k], results[0].scores[name][k],
+                atol=1e-4, err_msg=f"{name}:{k}",
+            )

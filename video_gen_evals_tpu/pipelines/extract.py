@@ -395,7 +395,10 @@ class Extractor:
         self._mesh_forward = sjit(mesh_forward, ("rep", "rep", "dp", "dp"))
         self._pose_forward = sjit(pose_forward, ("rep", "dp", "dp", "rep"))
         self._kp_post = sjit(kp_post, ("dp", "dp", "rep"))
-        self._to_f32 = sjit(lambda u8: u8.astype(jnp.float32), ("dp",))
+        # NOT dp-constrained: the upload covers a whole video of arbitrary
+        # length (not necessarily divisible by the mesh); the fixed-size
+        # chunks are re-placed on the data axis by _put_dp in _batched
+        self._to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32))
 
     # ------------------------------------------------------------------
     def _batched(self, fn, frames, *extra, fetch: bool = True,
