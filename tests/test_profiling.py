@@ -1,5 +1,6 @@
 """Profiling utilities: no-op trace without a directory, counters."""
 
+import os
 import time
 
 from video_gen_evals_tpu.utils.profiling import StepTimer, annotate, trace
@@ -21,3 +22,21 @@ def test_step_timer():
     assert rates["items_per_sec"] > 0
     assert rates["steps_per_sec"] > 0
     assert t.items == 20 and t.steps == 2
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """enable_compile_cache points jax at the requested (or env-provided)
+    directory, creates it, and is idempotent."""
+    import jax
+
+    from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
+
+    d1 = str(tmp_path / "cache1")
+    assert enable_compile_cache(d1) == d1
+    assert os.path.isdir(d1)
+    assert jax.config.jax_compilation_cache_dir == d1
+
+    d2 = str(tmp_path / "cache2")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", d2)
+    assert enable_compile_cache() == d2          # env honored
+    assert enable_compile_cache(d1) == d1        # explicit arg wins, idempotent
