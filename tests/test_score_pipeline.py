@@ -279,3 +279,34 @@ def test_window_encoder_block_kernel_matches_module(env):
         # CPU interpret runs the kernel's bf16_3x decomposition vs f32 module
         np.testing.assert_allclose(sm, sk, atol=5e-4, err_msg=impl)
         np.testing.assert_allclose(tm, tk, atol=5e-4, err_msg=impl)
+
+
+def test_score_generated_mesh_matches_single_device(env):
+    """score_generated(mesh=dp8) == single-device scores: the full eval flow
+    (stats, centroids, sharded window sweeps) on the mesh serve path."""
+    from video_gen_evals_tpu.parallel.mesh import make_mesh
+
+    root, mesh_root, kp_root, gen_dir, gen_kp, human_path, names = env
+    dims_raw = {"vit": 64, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
+    dims_diff = {"vit": 64, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1,
+                               time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(2), clip_len=16)
+
+    outs = []
+    for mesh in (None, make_mesh(8, 1)):
+        r = score_generated(
+            model,
+            params,
+            gen_dir,
+            mesh_root,
+            real_paths=ModalityPaths(keypoint_dir=kp_root, layout="real"),
+            gen_paths=ModalityPaths(keypoint_dir=gen_kp, layout="generated"),
+            cfg=ScoreConfig(clip_len=16, stride=8, batch_size=16),
+            output_json=None,
+            mesh=mesh,
+        )
+        outs.append(r["scores"])
+    for n in outs[0]:
+        np.testing.assert_allclose(outs[1][n]["ac"], outs[0][n]["ac"], atol=1e-5)
+        np.testing.assert_allclose(outs[1][n]["tc"], outs[0][n]["tc"], atol=1e-5)

@@ -381,6 +381,7 @@ def score_generated(
     stats: T.Optional[ModalityStats] = None,
     dump_features: T.Optional[str] = None,
     bank_cache_dir: T.Optional[str] = None,
+    mesh=None,
 ) -> T.Dict[str, T.Any]:
     """Full ref ``eval.py`` flow: stats from real train split, centroids, score
     every generated video, optional Spearman vs human MOS.
@@ -388,6 +389,8 @@ def score_generated(
     ``dump_features``: optional ``.npz`` path for the window feature cache
     (seq embeddings + per-window TC + window->video metadata), the equivalent
     of the reference's ``window_features.pt`` dump (ref ``eval.py:202-205``).
+    ``mesh``: optional ``jax.sharding.Mesh`` — window batches then shard over
+    its ``data`` axis (the WindowEncoder sharded sweep).
     """
     cfg = cfg or ScoreConfig()
     real_manifest = scan_class_tree(real_meshes_dir, filter_classes=list(ACTION_CLASSES))
@@ -398,6 +401,7 @@ def score_generated(
     encoder = WindowEncoder(
         model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision,
         gather_impl=cfg.gather_impl, encoder_impl=cfg.encoder_impl,
+        mesh=mesh,
     )
     cache = lambda name: (
         os.path.join(bank_cache_dir, name) if bank_cache_dir else None
@@ -483,6 +487,9 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "1e-3 parity budget at ~1.6x 'highest' throughput)")
     p.add_argument("--encoder-impl", default="auto",
                    choices=["auto", "module", "block_kernel", "chain_kernel"])
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard window batches data-parallel over an N-device "
+                        "mesh (module encoder forward; 0 = single device)")
     p.add_argument("--gather-impl", default="auto",
                    choices=["auto", "sliced", "burst", "take"])
     args = p.parse_args(argv)
@@ -528,6 +535,12 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
         params = restore_params(args.checkpoint)
 
+    mesh = None
+    if args.mesh_data > 0:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data, 1)
+
     result = score_generated(
         model,
         params,
@@ -541,6 +554,7 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         stats=stats,
         dump_features=args.dump_features,
         bank_cache_dir=args.bank_cache,
+        mesh=mesh,
     )
     n = len(result["scores"])
     print(f"Saved AC/TC scores for {n} videos to {args.output}")
