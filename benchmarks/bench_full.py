@@ -80,6 +80,8 @@ def main() -> None:
                         "completion barriers (distorts pipelining; for "
                         "diagnosis only)")
     args = p.parse_args()
+    if args.rcnn_fast and args.mesh_detector != "rcnn":
+        p.error("--rcnn-fast requires --mesh-detector rcnn")
     H, W = (int(x) for x in args.hw.split("x"))
 
     import jax

@@ -33,7 +33,10 @@ def main() -> None:
 
     DIMS_RAW = {"vit": 1024, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
     DIMS_DIFF = {"vit": 1024, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
-    batch, clip_len, iters = 240, 32, 12
+    # batch MUST be a multiple of 32: _pick_block(240, 32) silently falls
+    # back to 16 (240 % 32 != 0), which would make the cap-32 arm compile
+    # the identical bw=16 kernel and measure nothing
+    batch, clip_len, iters = 256, 32, 12
 
     cfg = EncoderConfig.create(DIMS_RAW, DIMS_DIFF, conv_impl="kernel")
     model, params = init_encoder(cfg, jax.random.key(0), clip_len=clip_len)
@@ -56,7 +59,12 @@ def main() -> None:
             else (lambda B, c: orig_pick(B, 32 if c == 16 else c))
         )
         try:
-            state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+            # FRESH param buffers per arm: the train step donates the state
+            # (donate_argnums), so reusing `params` across arms would raise
+            # buffer-donated errors masquerading as kernel failures
+            p0 = jax.tree_util.tree_map(lambda a: jnp.array(np.asarray(a)),
+                                        params)
+            state = TrainState(p0, tx.init(p0), jnp.zeros((), jnp.int32))
             step = make_train_step(model, tx)
             state, m = step(state, feats[0], labels, key)
             float(m["total"])

@@ -174,17 +174,21 @@ def test_rcnn_single_person_filter_semantics():
     np.testing.assert_array_equal(out["frame_idx"], [1, 4, 7])
 
 
-def test_mesh_extraction_matches_single_device(extractor, rng):
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_mesh_extraction_matches_single_device(rng):
     """Data-parallel extraction over a dp8 mesh (frame batch sharded over
     the ``data`` axis, params replicated) reproduces the single-device
-    outputs on identical params and frames."""
+    outputs on identical params and frames. 15 frames (NOT divisible by 8)
+    exercises the unconstrained whole-video upload + kp_post paths."""
     from video_gen_evals_tpu.parallel.mesh import make_mesh
 
     # keep_all_frames: the random-weight detector may find zero single-person
     # frames, which would reject the video on both paths and test nothing
     base = tiny_extractor(keep_all_frames=True)
     ex_m = Extractor(base.cfg, params=base.params, mesh=make_mesh(8, 1))
-    frames = rng.integers(0, 255, size=(16, 48, 40, 3)).astype(np.uint8)
+    frames = rng.integers(0, 255, size=(15, 48, 40, 3)).astype(np.uint8)
 
     base_mesh, base_kp = base.process_video_full(frames, with_keypoints=True)
     got_mesh, got_kp = ex_m.process_video_full(frames, with_keypoints=True)
@@ -199,6 +203,9 @@ def test_mesh_extraction_matches_single_device(extractor, rng):
     np.testing.assert_allclose(got_kp["kp120"], base_kp["kp120"], atol=1e-4)
 
 
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
 def test_mesh_extraction_rcnn_matches_single_device(rng):
     """dp8-mesh equivalence for the R-CNN detect path: the sharded
     detect_rcnn + mesh stages reproduce single-device boxes/outputs."""
@@ -219,3 +226,27 @@ def test_mesh_extraction_rcnn_matches_single_device(rng):
         np.testing.assert_allclose(
             got_mesh[k], base_mesh[k], atol=5e-5, err_msg=k
         )
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_mesh_requires_divisible_frame_batch():
+    """A mesh whose data size does not divide frame_batch fails up front
+    with a clear message, not deep inside a sharding error."""
+    from video_gen_evals_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="frame_batch.*divisible"):
+        tiny_extractor_mesh = ExtractorConfig(
+            det=DetectorConfig(input_hw=(64, 64), depth=0.33, width=0.0625,
+                               max_detections=4),
+            vit=ViTConfig(img_size=(32, 24), patch_size=8, embed_dim=32,
+                          depth=1, num_heads=4),
+            head=SMPLHeadConfig(dim=32, context_dim=32, depth=1, heads=2,
+                                dim_head=8, mlp_dim=32, token_num=2,
+                                token_class_num=8, token_code_dim=4),
+            pose=PoseNetConfig(input_hw=(32, 24), widen_factor=0.0625,
+                               deepen_factor=0.2, gau_dim=16, gau_s=8),
+            frame_batch=12,
+        )
+        Extractor(tiny_extractor_mesh, mesh=make_mesh(8, 1))

@@ -158,7 +158,30 @@ class Extractor:
                 params,
             )
         self.params = params
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if cfg.frame_batch % n_data:
+                raise ValueError(
+                    f"frame_batch ({cfg.frame_batch}) must be divisible by "
+                    f"the mesh data axis ({n_data})"
+                )
+            if self.rcnn is not None and cfg.rcnn_frame_batch % n_data:
+                raise ValueError(
+                    f"rcnn_frame_batch ({cfg.rcnn_frame_batch}) must be "
+                    f"divisible by the mesh data axis ({n_data})"
+                )
+            self._place_params()
         self._build_jits()
+
+    def _place_params(self) -> None:
+        """Replicate the param tree onto the mesh ONCE — without this every
+        sjit stage call would re-broadcast the (potentially GB-scale) params
+        per chunk to satisfy its replicated in_sharding."""
+        from ..parallel.mesh import replicated_sharding
+
+        self.params = jax.device_put(
+            self.params, replicated_sharding(self.mesh)
+        )
 
     @classmethod
     def from_checkpoints(
@@ -206,6 +229,8 @@ class Extractor:
                 converted,
             )
         ex.params.update(converted)
+        if ex.mesh is not None:
+            ex._place_params()  # re-replicate the converted trees
         return ex
 
     # ------------------------------------------------------------------
@@ -394,10 +419,12 @@ class Extractor:
         self._detect = sjit(detect, ("rep", "dp", "rep"))
         self._mesh_forward = sjit(mesh_forward, ("rep", "rep", "dp", "dp"))
         self._pose_forward = sjit(pose_forward, ("rep", "dp", "dp", "rep"))
-        self._kp_post = sjit(kp_post, ("dp", "dp", "rep"))
-        # NOT dp-constrained: the upload covers a whole video of arbitrary
-        # length (not necessarily divisible by the mesh); the fixed-size
-        # chunks are re-placed on the data axis by _put_dp in _batched
+        # kp_post and the upload cast run on WHOLE-VIDEO arrays of arbitrary
+        # length (not chunked through _batched), so they must not be
+        # dp-constrained — a non-divisible frame count would be rejected.
+        # Under a mesh their inputs already live across the mesh devices
+        # (concatenated stage-chunk outputs) and GSPMD partitions freely.
+        self._kp_post = jax.jit(kp_post)
         self._to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32))
 
     # ------------------------------------------------------------------
@@ -521,7 +548,7 @@ class Extractor:
                 box_pose,
                 fetch=False,
             )
-            kp120, valid = self._kp_post(self._put_dp(kps134), self._put_dp(sc134), wh)
+            kp120, valid = self._kp_post(kps134, sc134, wh)
 
         single_np = np.asarray(single)
         if self.cfg.keep_all_frames:
@@ -630,7 +657,7 @@ class Extractor:
                 box_pose,
                 fetch=False,
             )
-            kp120, kvalid = self._kp_post(self._put_dp(kps134), self._put_dp(sc134), wh)
+            kp120, kvalid = self._kp_post(kps134, sc134, wh)
             kp120 = np.asarray(kp120)
             kvalid = np.asarray(kvalid)
 
@@ -696,7 +723,7 @@ class Extractor:
             fetch=False,
         )
 
-        kp120, valid = self._kp_post(self._put_dp(kps134), self._put_dp(sc134), wh)
+        kp120, valid = self._kp_post(kps134, sc134, wh)
         valid = np.asarray(valid)
         if self.cfg.keep_all_frames:
             valid = np.ones_like(valid, dtype=bool)
@@ -934,6 +961,10 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     args = p.parse_args(argv)
 
     from ..models.rcnn import RCNNConfig
+
+    if args.rcnn_fast and args.mesh_detector != "rcnn" and not args.rcnn_ckpt:
+        p.error("--rcnn-fast requires the R-CNN mesh detector "
+                "(--mesh-detector rcnn or --rcnn-ckpt)")
 
     mesh = None
     if args.mesh_data > 0:
