@@ -186,8 +186,15 @@ def test_mesh_extraction_matches_single_device(rng):
 
     # keep_all_frames: the random-weight detector may find zero single-person
     # frames, which would reject the video on both paths and test nothing
+    import jax
+
     base = tiny_extractor(keep_all_frames=True)
     ex_m = Extractor(base.cfg, params=base.params, mesh=make_mesh(8, 1))
+    # params must be placed onto the mesh ONCE at construction (replicated),
+    # not re-broadcast per stage call
+    leaf = jax.tree_util.tree_leaves(ex_m.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    assert len(leaf.sharding.device_set) == 8
     frames = rng.integers(0, 255, size=(15, 48, 40, 3)).astype(np.uint8)
 
     base_mesh, base_kp = base.process_video_full(frames, with_keypoints=True)
