@@ -310,3 +310,85 @@ def test_score_generated_mesh_matches_single_device(env):
     for n in outs[0]:
         np.testing.assert_allclose(outs[1][n]["ac"], outs[0][n]["ac"], atol=1e-5)
         np.testing.assert_allclose(outs[1][n]["tc"], outs[0][n]["tc"], atol=1e-5)
+
+
+def test_host_sharded_sweep_merges_to_single_host_scores(env, tmp_path):
+    """Multi-pod sweep (SURVEY §5.8): each host scores a disjoint strided
+    shard of the generated manifest; merging the shard JSONs reproduces the
+    single-host video_scores and the merge CLI computes the final human
+    correlations (ref eval.py:439-464)."""
+    import subprocess
+    import sys
+
+    from video_gen_evals_tpu.parallel import shard_items
+    from video_gen_evals_tpu.pipelines.merge_scores import merge_score_shards
+
+    root, mesh_root, kp_root, gen_dir, gen_kp, human_path, names = env
+    dims_raw = {"vit": 64, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
+    dims_diff = {"vit": 64, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1,
+                               time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(3), clip_len=16)
+    score_cfg = ScoreConfig(clip_len=16, stride=8, batch_size=16)
+
+    def run(num_hosts, host_id, out):
+        return score_generated(
+            model,
+            params,
+            gen_dir,
+            mesh_root,
+            real_paths=ModalityPaths(keypoint_dir=kp_root, layout="real"),
+            gen_paths=ModalityPaths(keypoint_dir=gen_kp, layout="generated"),
+            cfg=score_cfg,
+            output_json=out,
+            human_scores_path=human_path,
+            num_hosts=num_hosts,
+            host_id=host_id,
+        )["scores"]
+
+    single = run(1, 0, None)
+    shard_paths = [str(tmp_path / f"scores.host{i}of3.json") for i in range(3)]
+    shards = [run(3, i, shard_paths[i]) for i in range(3)]
+
+    # disjoint cover of the single-host video set
+    all_vids = sorted(v for s in shards for v in s)
+    assert all_vids == sorted(single)
+    assert sum(len(s) for s in shards) == len(single)
+
+    merged = merge_score_shards(shards)
+    for n in single:
+        np.testing.assert_allclose(merged[n]["ac"], single[n]["ac"], atol=1e-5)
+        np.testing.assert_allclose(merged[n]["tc"], single[n]["tc"], atol=1e-5)
+
+    # idempotent overlap ok; conflicting scores raise
+    assert merge_score_shards([shards[0], shards[0]]) == shards[0]
+    bad = {k: {**v, "tc": v["tc"] + 1.0} for k, v in list(shards[1].items())[:1]}
+    with pytest.raises(ValueError, match="conflicting"):
+        merge_score_shards([shards[1], bad])
+
+    # merge CLI: reassembles the reference-schema JSON + final correlations.
+    # Sanitized env: never let the subprocess register the axon TPU tunnel
+    # (sitecustomize keys off PALLAS_AXON_POOL_IPS).
+    sub_env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    sub_env.pop("PALLAS_AXON_POOL_IPS", None)
+    merged_path = str(tmp_path / "video_scores.json")
+    proc = subprocess.run(
+        [sys.executable, "-m", "video_gen_evals_tpu.pipelines.merge_scores",
+         *shard_paths, "--output", merged_path,
+         "--human-scores", human_path],
+        capture_output=True, text=True, cwd="/root/repo", env=sub_env,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "ac_corr: spearman=" in proc.stdout
+    with open(merged_path) as f:
+        on_disk = json.load(f)
+    assert sorted(on_disk) == sorted(single)
+
+    # shard_items contract: every item exactly once, validation errors
+    items = list(range(11))
+    covered = sorted(x for i in range(4) for x in shard_items(items, i, 4))
+    assert covered == items
+    with pytest.raises(ValueError):
+        shard_items(items, 4, 4)
+    with pytest.raises(ValueError):
+        shard_items(items, 0, 0)

@@ -6,6 +6,7 @@ from .mesh import (
     replicated_sharding,
     tp_param_sharding,
     initialize_distributed,
+    shard_items,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "replicated_sharding",
     "tp_param_sharding",
     "initialize_distributed",
+    "shard_items",
 ]

@@ -55,6 +55,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def shard_items(
+    items: T.Sequence, host_id: int, num_hosts: int
+) -> T.List:
+    """Deterministic strided split of a work list across hosts (SURVEY §5.8:
+    multi-pod sweeps shard the video manifest over hosts and merge the JSON
+    shards on DCN). Strided (``items[host_id::num_hosts]``) rather than
+    contiguous so per-class runs of a sorted manifest spread evenly.
+
+    Every item lands on exactly one host; hosts agree on the split as long as
+    they scan the same manifest (same directory contents, same order).
+    """
+    if num_hosts < 1:
+        raise ValueError(f"num_hosts must be >= 1, got {num_hosts}")
+    if not 0 <= host_id < num_hosts:
+        raise ValueError(
+            f"host_id must be in [0, {num_hosts}), got {host_id}"
+        )
+    return list(items[host_id::num_hosts])
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -382,6 +382,8 @@ def score_generated(
     dump_features: T.Optional[str] = None,
     bank_cache_dir: T.Optional[str] = None,
     mesh=None,
+    num_hosts: int = 1,
+    host_id: int = 0,
 ) -> T.Dict[str, T.Any]:
     """Full ref ``eval.py`` flow: stats from real train split, centroids, score
     every generated video, optional Spearman vs human MOS.
@@ -391,6 +393,12 @@ def score_generated(
     of the reference's ``window_features.pt`` dump (ref ``eval.py:202-205``).
     ``mesh``: optional ``jax.sharding.Mesh`` — window batches then shard over
     its ``data`` axis (the WindowEncoder sharded sweep).
+    ``num_hosts``/``host_id``: multi-pod sweep (SURVEY §5.8) — this process
+    scores only its strided shard of the generated manifest (stats/centroids
+    come from the full real train split on every host, so shards agree);
+    merge the per-host JSONs with ``pipelines.merge_scores``. Human-corr is
+    computed at merge time (it needs every video), so ``human_scores_path``
+    is ignored when ``num_hosts > 1``.
     """
     cfg = cfg or ScoreConfig()
     real_manifest = scan_class_tree(real_meshes_dir, filter_classes=list(ACTION_CLASSES))
@@ -412,9 +420,21 @@ def score_generated(
     )
 
     gen_manifest = scan_generated_flat(generated_dir)
+    if num_hosts > 1:
+        from ..parallel import shard_items
+
+        gen_manifest = VideoManifest(
+            shard_items(gen_manifest.items, host_id, num_hosts)
+        )
+        human_scores_path = None  # correlations run at merge time
+    gen_cache_name = (
+        f"generated_bank.host{host_id}of{num_hosts}.npz"
+        if num_hosts > 1
+        else "generated_bank.npz"
+    )
     gen_bank = build_feature_bank_cached(
         gen_manifest.items, gen_paths, stats, min_rows=cfg.clip_len + 8,
-        cache_path=cache("generated_bank.npz"),
+        cache_path=cache(gen_cache_name),
     )
     combined = score_bank(encoder, gen_bank, gen_manifest, centroids, label_dict, cfg)
 
@@ -492,6 +512,13 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "mesh (module encoder forward; 0 = single device)")
     p.add_argument("--gather-impl", default="auto",
                    choices=["auto", "sliced", "burst", "take"])
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-pod sweep (SURVEY §5.8): total hosts sharding "
+                        "the generated manifest; each writes "
+                        "<output>.hostIofN.json — merge with "
+                        "python -m video_gen_evals_tpu.pipelines.merge_scores")
+    p.add_argument("--host-id", type=int, default=-1,
+                   help="this host's shard index; -1 = jax.process_index()")
     args = p.parse_args(argv)
 
     from ..core.config import BugCompat
@@ -541,6 +568,15 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
         mesh = make_mesh(args.mesh_data, 1)
 
+    host_id, output = args.host_id, args.output
+    if args.num_hosts > 1:
+        if host_id < 0:
+            host_id = jax.process_index()
+        stem, ext = os.path.splitext(output)
+        output = f"{stem}.host{host_id}of{args.num_hosts}{ext or '.json'}"
+    else:
+        host_id = max(host_id, 0)
+
     result = score_generated(
         model,
         params,
@@ -550,14 +586,16 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         gen_paths,
         cfg,
         human_scores_path=args.human_scores,
-        output_json=args.output,
+        output_json=output,
         stats=stats,
         dump_features=args.dump_features,
         bank_cache_dir=args.bank_cache,
         mesh=mesh,
+        num_hosts=args.num_hosts,
+        host_id=host_id,
     )
     n = len(result["scores"])
-    print(f"Saved AC/TC scores for {n} videos to {args.output}")
+    print(f"Saved AC/TC scores for {n} videos to {output}")
     for key in ("ac_corr", "tc_corr"):
         if key in result and result[key]["spearman"] is not None:
             print(f"{key}: spearman={result[key]['spearman']:.4f} (n={result[key]['n']})")
