@@ -98,6 +98,72 @@ def test_run_tree_resumable(extractor, rng, tmp_path):
     assert counts2["single"] == counts2["not_single"] == counts2["errors"] == 0
 
 
+def test_run_tree_multi_host_shards_cover_tree(extractor, rng, tmp_path):
+    """Multi-pod extraction (SURVEY §5.8): three hosts with disjoint strided
+    video shards and per-host ledgers reproduce exactly the single-host
+    output tree; per-host resume skips only that host's shard."""
+    tree = tmp_path / "videos"
+    for action in ("JumpingJack", "PushUps"):
+        d = tree / action
+        d.mkdir(parents=True)
+        for i in range(5 if action == "JumpingJack" else 2):
+            frames = rng.integers(0, 255, size=(9, 48, 40, 3)).astype(np.uint8)
+            np.save(d / f"v{i}.npy", frames)
+
+    def produced_set(root):
+        out = set()
+        for action in ("JumpingJack", "PushUps"):
+            d = os.path.join(root, action)
+            if os.path.isdir(d):
+                out.update((action, f) for f in os.listdir(d))
+        return out
+
+    single_meshes = str(tmp_path / "meshes_single")
+    extractor.run_tree(
+        str(tree), single_meshes, str(tmp_path / "logs_single"),
+        frame_loader=np.load,
+    )
+
+    sharded_meshes = str(tmp_path / "meshes_sharded")
+    logs = str(tmp_path / "logs_sharded")  # shared log dir: per-host ledgers
+    counts = [
+        extractor.run_tree(
+            str(tree), sharded_meshes, logs, frame_loader=np.load,
+            num_hosts=3, host_id=i,
+        )
+        for i in range(3)
+    ]
+    assert sum(c["single"] + c["not_single"] + c["errors"] for c in counts) == 7
+    assert all(c["skipped"] == 0 for c in counts)
+    assert produced_set(sharded_meshes) == produced_set(single_meshes)
+
+    # per-host ledger files exist and partition the videos disjointly
+    import json
+
+    owned = []
+    for i in range(3):
+        mine = set()
+        for action in ("JumpingJack", "PushUps"):
+            for kind in ("single", "not_single", "errors"):
+                p = os.path.join(logs, kind, f"{action}.host{i}of3.json")
+                if os.path.exists(p):
+                    with open(p) as f:
+                        data = json.load(f)
+                    mine.update((action, v) for v in data)
+        owned.append(mine)
+    union = set().union(*owned)
+    assert len(union) == 7
+    assert sum(len(m) for m in owned) == 7  # disjoint
+
+    # resume: host 0 re-run skips exactly its own shard
+    again = extractor.run_tree(
+        str(tree), sharded_meshes, logs, frame_loader=np.load,
+        num_hosts=3, host_id=0,
+    )
+    assert again["skipped"] == len(owned[0])
+    assert again["single"] == again["not_single"] == again["errors"] == 0
+
+
 def test_run_tree_error_isolation(extractor, tmp_path):
     tree = tmp_path / "videos"
     d = tree / "JumpingJack"

@@ -742,9 +742,18 @@ class Extractor:
         frame_loader: T.Optional[T.Callable[[str], np.ndarray]] = None,
         prefetch: int = 2,
         stream_group: int = 8,
+        num_hosts: int = 1,
+        host_id: int = 0,
     ) -> T.Dict[str, int]:
         """Resumable extraction over ``<video_tree>/<action>/*.{mp4,avi,mkv}``
         (ref ``extract_mesh.py:150-241``).
+
+        ``num_hosts``/``host_id``: multi-pod sweep (SURVEY §5.8) — this
+        process extracts only its strided shard of each action's sorted
+        video list (``parallel.shard_items``; assignment is progress-
+        independent, so resume is stable), recording to per-host ledgers
+        (``<action>.host<I>of<N>.json``). Outputs are per-video npz trees,
+        so no merge step is needed — hosts can share one output root.
 
         Decode AND upload run ``prefetch`` videos ahead on host threads (the
         native libav decoder when built, OpenCV otherwise; the upload ships
@@ -787,11 +796,20 @@ class Extractor:
         )
         for action in all_actions:
             action_dir = os.path.join(video_tree, action)
-            ledger = ResumableLedger(log_dir, action)
+            ledger_name = (
+                f"{action}.host{host_id}of{num_hosts}"
+                if num_hosts > 1
+                else action
+            )
+            ledger = ResumableLedger(log_dir, ledger_name)
             processed = ledger.processed()
             videos = sorted(
                 f for f in os.listdir(action_dir) if f.lower().endswith(exts)
             )
+            if num_hosts > 1:
+                from ..parallel import shard_items
+
+                videos = shard_items(videos, host_id, num_hosts)
             pending = []
             for video in videos:
                 if video in processed:
@@ -958,6 +976,12 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                    help="shard every extraction stage data-parallel over an "
                         "N-device mesh (frame batch on the 'data' axis; "
                         "0 = single device)")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-pod sweep (SURVEY §5.8): total hosts sharding "
+                        "each action's video list; outputs are per-video, so "
+                        "hosts may share one output root (no merge step)")
+    p.add_argument("--host-id", type=int, default=-1,
+                   help="this host's shard index; -1 = jax.process_index()")
     args = p.parse_args(argv)
 
     from ..models.rcnn import RCNNConfig
@@ -982,6 +1006,11 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         yolox=args.yolox_ckpt,
         rcnn=args.rcnn_ckpt,
     )
+    host_id = args.host_id
+    if args.num_hosts > 1 and host_id < 0:
+        import jax
+
+        host_id = jax.process_index()
     counts = ex.run_tree(
         args.videos,
         args.out_meshes,
@@ -990,6 +1019,8 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         actions=[args.action] if args.action else None,
         prefetch=args.prefetch,
         stream_group=args.stream_group,
+        num_hosts=args.num_hosts,
+        host_id=max(host_id, 0),
     )
     print(counts)
 
