@@ -360,6 +360,13 @@ def test_host_sharded_sweep_merges_to_single_host_scores(env, tmp_path):
         np.testing.assert_allclose(merged[n]["ac"], single[n]["ac"], atol=1e-5)
         np.testing.assert_allclose(merged[n]["tc"], single[n]["tc"], atol=1e-5)
 
+    # more hosts than videos: empty shard returns/writes {} without crashing
+    empty_path = str(tmp_path / "scores.host63of64.json")
+    assert run(64, 63, empty_path) == {}
+    with open(empty_path) as f:
+        assert json.load(f) == {}
+    assert merge_score_shards([shards[0], {}]) == shards[0]
+
     # idempotent overlap ok; conflicting scores raise
     assert merge_score_shards([shards[0], shards[0]]) == shards[0]
     bad = {k: {**v, "tc": v["tc"] + 1.0} for k, v in list(shards[1].items())[:1]}

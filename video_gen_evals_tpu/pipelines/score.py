@@ -401,6 +401,21 @@ def score_generated(
     is ignored when ``num_hosts > 1``.
     """
     cfg = cfg or ScoreConfig()
+    gen_manifest = scan_generated_flat(generated_dir)
+    if num_hosts > 1:
+        from ..parallel import shard_items
+
+        gen_manifest = VideoManifest(
+            shard_items(gen_manifest.items, host_id, num_hosts)
+        )
+        human_scores_path = None  # correlations run at merge time
+        if not gen_manifest.items:
+            # more hosts than videos: this host's shard is empty — emit an
+            # empty (still mergeable) shard instead of crashing bank build
+            if output_json:
+                with open(output_json, "w") as f:
+                    json.dump({}, f, indent=2)
+            return {"scores": {}}
     real_manifest = scan_class_tree(real_meshes_dir, filter_classes=list(ACTION_CLASSES))
     if stats is None:
         train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
@@ -419,14 +434,6 @@ def score_generated(
         bank_cache=cache("real_train_bank.npz"),
     )
 
-    gen_manifest = scan_generated_flat(generated_dir)
-    if num_hosts > 1:
-        from ..parallel import shard_items
-
-        gen_manifest = VideoManifest(
-            shard_items(gen_manifest.items, host_id, num_hosts)
-        )
-        human_scores_path = None  # correlations run at merge time
     gen_cache_name = (
         f"generated_bank.host{host_id}of{num_hosts}.npz"
         if num_hosts > 1
