@@ -196,11 +196,15 @@ def main() -> None:
     float(ac[0])
 
     best_dt = None
-    for _pass in range(int(os.environ.get("BENCH_PASSES", "2"))):
-        carry = jnp.zeros((), jnp.float32)
+    for _pass in range(max(1, int(os.environ.get("BENCH_PASSES", "2")))):
+        # seed the carry differently per pass and propagate a tiny slice of
+        # each iteration's result into the next call's input, so no two
+        # dispatched calls are value-identical (the relay can short-circuit
+        # exact replays — CLAUDE.md timing discipline)
+        carry = jnp.float32(1e-6 * (_pass + 1))
         t0 = time.perf_counter()
         for _ in range(iters):
-            ac, tcv = score_suite(params, centroids + carry * 0.0, labels)
+            ac, tcv = score_suite(params, centroids + carry * 1e-6, labels)
             carry = ac[0]
         final = float(carry)
         dt = time.perf_counter() - t0

@@ -344,11 +344,18 @@ def test_host_sharded_sweep_merges_to_single_host_scores(env, tmp_path):
             human_scores_path=human_path,
             num_hosts=num_hosts,
             host_id=host_id,
-        )["scores"]
+        )
 
-    single = run(1, 0, None)
-    shard_paths = [str(tmp_path / f"scores.host{i}of3.json") for i in range(3)]
-    shards = [run(3, i, shard_paths[i]) for i in range(3)]
+    single = run(1, 0, None)["scores"]
+    # unsuffixed output path: the library suffixes .hostIofN itself so hosts
+    # sharing an output dir never clobber each other
+    base = str(tmp_path / "scores.json")
+    results = [run(3, i, base) for i in range(3)]
+    shard_paths = [r["output_json"] for r in results]
+    assert shard_paths == [
+        str(tmp_path / f"scores.host{i}of3.json") for i in range(3)
+    ]
+    shards = [r["scores"] for r in results]
 
     # disjoint cover of the single-host video set
     all_vids = sorted(v for s in shards for v in s)
@@ -361,14 +368,18 @@ def test_host_sharded_sweep_merges_to_single_host_scores(env, tmp_path):
         np.testing.assert_allclose(merged[n]["tc"], single[n]["tc"], atol=1e-5)
 
     # more hosts than videos: empty shard returns/writes {} without crashing
-    empty_path = str(tmp_path / "scores.host63of64.json")
-    assert run(64, 63, empty_path) == {}
-    with open(empty_path) as f:
+    empty = run(64, 63, base)
+    assert empty["scores"] == {}
+    assert empty["output_json"] == str(tmp_path / "scores.host63of64.json")
+    with open(empty["output_json"]) as f:
         assert json.load(f) == {}
     assert merge_score_shards([shards[0], {}]) == shards[0]
 
-    # idempotent overlap ok; conflicting scores raise
+    # idempotent overlap ok (incl. last-float-digit drift from a re-run of
+    # different batch composition); real conflicts raise
     assert merge_score_shards([shards[0], shards[0]]) == shards[0]
+    near = {k: {**v, "tc": v["tc"] + 1e-6} for k, v in shards[1].items()}
+    assert sorted(merge_score_shards([shards[1], near])) == sorted(shards[1])
     bad = {k: {**v, "tc": v["tc"] + 1.0} for k, v in list(shards[1].items())[:1]}
     with pytest.raises(ValueError, match="conflicting"):
         merge_score_shards([shards[1], bad])
@@ -390,6 +401,34 @@ def test_host_sharded_sweep_merges_to_single_host_scores(env, tmp_path):
     with open(merged_path) as f:
         on_disk = json.load(f)
     assert sorted(on_disk) == sorted(single)
+
+    # completeness guard: a missing host shard fails the merge unless
+    # --allow-partial (correlations need every video)
+    proc = subprocess.run(
+        [sys.executable, "-m", "video_gen_evals_tpu.pipelines.merge_scores",
+         *shard_paths[:2], "--output", merged_path],
+        capture_output=True, text=True, cwd="/root/repo", env=sub_env,
+    )
+    assert proc.returncode != 0
+    assert "missing host shards [2]" in proc.stderr
+    proc = subprocess.run(
+        [sys.executable, "-m", "video_gen_evals_tpu.pipelines.merge_scores",
+         *shard_paths[:2], "--output", merged_path, "--allow-partial"],
+        capture_output=True, text=True, cwd="/root/repo", env=sub_env,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+    # coverage parser: inconsistent N, duplicates, unsuffixed names skip
+    from video_gen_evals_tpu.pipelines.merge_scores import check_shard_coverage
+
+    assert check_shard_coverage(shard_paths) is None
+    assert "disagree" in check_shard_coverage(
+        ["a.host0of2.json", "a.host1of3.json"]
+    )
+    assert "duplicate" in check_shard_coverage(
+        ["a.host0of2.json", "a.host0of2.json"]
+    )
+    assert check_shard_coverage(["hand_named.json", "a.host0of2.json"]) is None
 
     # shard_items contract: every item exactly once, validation errors
     items = list(range(11))

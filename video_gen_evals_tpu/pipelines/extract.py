@@ -1010,6 +1010,15 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     if args.num_hosts > 1 and host_id < 0:
         import jax
 
+        # only trust process_index() when a distributed runtime with the
+        # matching process count is actually up — otherwise every host would
+        # silently resolve to 0 and all extract the same shard
+        if jax.process_count() != args.num_hosts:
+            p.error(
+                f"--host-id -1 needs jax.process_count() == --num-hosts "
+                f"(have {jax.process_count()} vs {args.num_hosts}); pass "
+                "--host-id explicitly or initialize jax.distributed"
+            )
         host_id = jax.process_index()
     counts = ex.run_tree(
         args.videos,

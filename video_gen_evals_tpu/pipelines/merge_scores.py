@@ -8,12 +8,30 @@ CLI reassembles the single ``video_scores.json`` the reference's ``eval.py``
 writes (ref ``eval.py:439-453``) and, given ``--human-scores``, computes the
 final sign-inverted Spearman/Pearson (ref ``eval.py:456-464``) — correlations
 need every video, so they run here rather than per shard.
+
+Shard filenames carry a ``.host<I>of<N>.json`` suffix (written by the score
+CLI); when every input matches that pattern the merge verifies the set is
+COMPLETE (one consistent N, every index 0..N-1 present) before computing
+final numbers — a missing shard would otherwise silently publish
+correlations over a fraction of the videos. ``--allow-partial`` skips the
+check for deliberate partial merges.
 """
 
 from __future__ import annotations
 
 import json
+import math
+import re
 import typing as T
+
+# per-video AC/TC may differ in the last float digits between runs of
+# different batch composition (padding/reduction order); overlaps within
+# this tolerance are idempotent re-runs, beyond it is real manifest drift.
+# 1e-4 sits well under score scale (O(0.1-10)) and above bf16_3x noise.
+SCORE_ATOL = 1e-4
+SCORE_RTOL = 1e-4
+
+_HOST_RE = re.compile(r"\.host(\d+)of(\d+)\.json$")
 
 
 def merge_score_shards(
@@ -21,21 +39,60 @@ def merge_score_shards(
 ) -> T.Dict[str, T.Dict[str, float]]:
     """Union of per-host ``{vid: {ac, tc}}`` dicts.
 
-    A video appearing in more than one shard with identical scores is
-    tolerated (idempotent re-runs); conflicting scores raise — that means two
-    hosts scored the same video differently (manifest drift between hosts).
+    A video appearing in more than one shard with matching scores (within
+    ``SCORE_ATOL``/``SCORE_RTOL`` — re-runs of different batch composition
+    differ in the last float digits) is tolerated; a real conflict raises —
+    that means two hosts scored the same video differently (manifest drift
+    between hosts).
     """
     merged: T.Dict[str, T.Dict[str, float]] = {}
     for shard in shards:
         for vid, entry in shard.items():
             prev = merged.get(vid)
-            if prev is not None and prev != entry:
+            if prev is not None and not _scores_close(prev, entry):
                 raise ValueError(
                     f"conflicting scores for {vid!r} across shards: "
                     f"{prev} vs {entry} — hosts scanned different manifests?"
                 )
             merged[vid] = entry
     return merged
+
+
+def _scores_close(a: T.Dict[str, float], b: T.Dict[str, float]) -> bool:
+    if set(a) != set(b):
+        return False
+    for k, va in a.items():
+        vb = b[k]
+        if isinstance(va, float) or isinstance(vb, float):
+            if not math.isclose(va, vb, rel_tol=SCORE_RTOL, abs_tol=SCORE_ATOL):
+                return False
+        elif va != vb:
+            return False
+    return True
+
+
+def check_shard_coverage(paths: T.Sequence[str]) -> T.Optional[str]:
+    """If every path carries a ``.host<I>of<N>.json`` suffix, return an error
+    string when the set is incomplete/inconsistent (else None). Mixed or
+    unsuffixed names skip the check (caller merged hand-named files)."""
+    parsed = [_HOST_RE.search(p) for p in paths]
+    if not parsed or not all(parsed):
+        return None
+    ns = {int(m.group(2)) for m in parsed}
+    if len(ns) != 1:
+        return f"shards disagree on host count: {sorted(ns)}"
+    n = ns.pop()
+    ids = sorted(int(m.group(1)) for m in parsed)
+    if ids != list(range(n)):
+        missing = sorted(set(range(n)) - set(ids))
+        dup = sorted({i for i in ids if ids.count(i) > 1})
+        parts = []
+        if missing:
+            parts.append(f"missing host shards {missing}")
+        if dup:
+            parts.append(f"duplicate host shards {dup}")
+        return f"incomplete {n}-host sweep: " + ", ".join(parts)
+    return None
 
 
 def main(argv: T.Optional[T.List[str]] = None) -> None:
@@ -49,7 +106,17 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     p.add_argument("--human-scores", default=None,
                    help="human MOS JSON — computes the final sign-inverted "
                         "Spearman on the merged set (ref eval.py:456-464)")
+    p.add_argument("--allow-partial", action="store_true",
+                   help="skip the hostIofN completeness check (deliberate "
+                        "partial merge; correlations cover only the merged "
+                        "subset)")
     args = p.parse_args(argv)
+
+    if not args.allow_partial:
+        err = check_shard_coverage(args.shards)
+        if err:
+            p.error(f"{err} — correlations need every video "
+                    "(--allow-partial to merge anyway)")
 
     loaded = []
     for path in args.shards:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import typing as T
 
 import jax
@@ -398,7 +399,10 @@ def score_generated(
     come from the full real train split on every host, so shards agree);
     merge the per-host JSONs with ``pipelines.merge_scores``. Human-corr is
     computed at merge time (it needs every video), so ``human_scores_path``
-    is ignored when ``num_hosts > 1``.
+    is ignored when ``num_hosts > 1``. ``output_json`` is suffixed
+    ``.host<I>of<N>`` (unless already so suffixed) so hosts sharing an
+    output directory never clobber each other; the path actually written is
+    returned as ``result["output_json"]``.
     """
     cfg = cfg or ScoreConfig()
     gen_manifest = scan_generated_flat(generated_dir)
@@ -409,13 +413,18 @@ def score_generated(
             shard_items(gen_manifest.items, host_id, num_hosts)
         )
         human_scores_path = None  # correlations run at merge time
+        if output_json:
+            stem, ext = os.path.splitext(output_json)
+            tag = f".host{host_id}of{num_hosts}"
+            if not stem.endswith(tag):
+                output_json = f"{stem}{tag}{ext or '.json'}"
         if not gen_manifest.items:
             # more hosts than videos: this host's shard is empty — emit an
             # empty (still mergeable) shard instead of crashing bank build
             if output_json:
                 with open(output_json, "w") as f:
                     json.dump({}, f, indent=2)
-            return {"scores": {}}
+            return {"scores": {}, "output_json": output_json}
     real_manifest = scan_class_tree(real_meshes_dir, filter_classes=list(ACTION_CLASSES))
     if stats is None:
         train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
@@ -458,7 +467,7 @@ def score_generated(
             video_classes=np.array(gen_bank.classes),
         )
 
-    result: T.Dict[str, T.Any] = {"scores": combined}
+    result: T.Dict[str, T.Any] = {"scores": combined, "output_json": output_json}
     if output_json:
         with open(output_json, "w") as f:
             json.dump(combined, f, indent=2)
@@ -575,12 +584,26 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
         mesh = make_mesh(args.mesh_data, 1)
 
-    host_id, output = args.host_id, args.output
+    host_id = args.host_id
     if args.num_hosts > 1:
         if host_id < 0:
+            # only trust process_index() when a distributed runtime with the
+            # matching process count is actually up — otherwise every host
+            # would silently resolve to 0 and all score the same shard
+            if jax.process_count() != args.num_hosts:
+                p.error(
+                    f"--host-id -1 needs jax.process_count() == --num-hosts "
+                    f"(have {jax.process_count()} vs {args.num_hosts}); pass "
+                    "--host-id explicitly or initialize jax.distributed"
+                )
             host_id = jax.process_index()
-        stem, ext = os.path.splitext(output)
-        output = f"{stem}.host{host_id}of{args.num_hosts}{ext or '.json'}"
+        if args.human_scores:
+            print(
+                "note: --human-scores is deferred with --num-hosts > 1 — "
+                "correlations need every video; run "
+                "pipelines.merge_scores with --human-scores on the shards",
+                file=sys.stderr,
+            )
     else:
         host_id = max(host_id, 0)
 
@@ -593,7 +616,7 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         gen_paths,
         cfg,
         human_scores_path=args.human_scores,
-        output_json=output,
+        output_json=args.output,
         stats=stats,
         dump_features=args.dump_features,
         bank_cache_dir=args.bank_cache,
@@ -602,7 +625,7 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         host_id=host_id,
     )
     n = len(result["scores"])
-    print(f"Saved AC/TC scores for {n} videos to {output}")
+    print(f"Saved AC/TC scores for {n} videos to {result['output_json']}")
     for key in ("ac_corr", "tc_corr"):
         if key in result and result[key]["spearman"] is not None:
             print(f"{key}: spearman={result[key]['spearman']:.4f} (n={result[key]['n']})")
