@@ -51,7 +51,88 @@ _WORKER = textwrap.dedent(
 )
 
 
-def test_two_process_distributed_bringup(tmp_path):
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    port, pid = sys.argv[1], int(sys.argv[2])
+    from video_gen_evals_tpu.parallel.mesh import (
+        initialize_distributed, make_mesh,
+    )
+    initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from video_gen_evals_tpu.models import EncoderConfig
+    from video_gen_evals_tpu.models.fusion_encoder import init_encoder
+    from video_gen_evals_tpu.train.step import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    dims_raw = {"vit": 16, "global": 9, "pose": 12, "beta": 10, "kp2d": 8}
+    dims_diff = {"vit": 16, "global": 3, "pose": 4, "beta": 10, "kp2d": 8}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1,
+                               time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=8)
+    tx = make_optimizer(1e-3, 10)
+    step = make_train_step(model, tx, donate=False)
+
+    B = 8
+    feats = np.random.default_rng(0).normal(
+        size=(B, 8, cfg.input_dim)).astype(np.float32)
+    labels = np.repeat(np.arange(4), 2).astype(np.int32)
+    rng = jax.random.key(7)
+
+    # single-device reference on a local device (same values everywhere)
+    state0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    ref_state, ref_metrics = step(state0, jnp.asarray(feats),
+                                  jnp.asarray(labels), rng)
+    ref_loss = float(ref_metrics["total"])
+    ref_leaf = np.asarray(jax.tree.leaves(ref_state.params)[0])
+
+    # dp4 over 2 processes x 2 devices: params/opt/rng replicated, batch
+    # rows sharded — each process contributes only ITS local rows
+    mesh = make_mesh(4, 1)
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+
+    def repl(x):
+        # device_put can't target non-addressable shardings; every process
+        # holds the same host value, so build the global replica explicitly
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep, lambda idx: x[idx])
+
+    gstate = jax.tree.map(
+        repl, TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    )
+    grng = jax.random.wrap_key_data(repl(jax.random.key_data(rng)))
+    lo, hi = pid * (B // 2), (pid + 1) * (B // 2)
+    gfeats = jax.make_array_from_process_local_data(
+        dp, feats[lo:hi], feats.shape
+    )
+    glabels = jax.make_array_from_process_local_data(
+        dp, labels[lo:hi], labels.shape
+    )
+    new_state, metrics = step(gstate, gfeats, glabels, grng)
+    loss = float(metrics["total"])  # replicated -> addressable everywhere
+    assert abs(loss - ref_loss) <= 2e-3 * abs(ref_loss), (loss, ref_loss)
+    leaf = np.asarray(
+        jax.tree.leaves(new_state.params)[0].addressable_data(0)
+    )
+    np.testing.assert_allclose(leaf, ref_leaf, rtol=2e-3, atol=1e-5)
+    print(f"TRAIN{pid}_OK", loss)
+    """
+)
+
+
+def _run_pair(worker_src: str, ok_tag: str):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -60,7 +141,7 @@ def test_two_process_distributed_bringup(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(port), str(pid)],
+            [sys.executable, "-c", worker_src, str(port), str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd="/root/repo", env=env,
         )
@@ -69,7 +150,7 @@ def test_two_process_distributed_bringup(tmp_path):
     outs = []
     for pid, proc in enumerate(procs):
         try:
-            out, err = proc.communicate(timeout=240)
+            out, err = proc.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for x in procs:
                 x.kill()
@@ -77,4 +158,16 @@ def test_two_process_distributed_bringup(tmp_path):
         outs.append((proc.returncode, out, err))
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {pid} failed:\n{err}"
-        assert f"WORKER{pid}_OK" in out
+        assert f"{ok_tag}{pid}_OK" in out
+
+
+def test_two_process_train_step_matches_single_device():
+    """The REAL fused train step (value_and_grad + AdamW + NaN-skip cond)
+    runs dp4 over TWO processes (2 local devices each, gloo DCN collectives)
+    and reproduces the single-device loss AND updated params — actual
+    cross-process gradient psum, not the virtual-device approximation."""
+    _run_pair(_TRAIN_WORKER, "TRAIN")
+
+
+def test_two_process_distributed_bringup(tmp_path):
+    _run_pair(_WORKER, "WORKER")

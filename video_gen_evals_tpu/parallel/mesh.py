@@ -119,9 +119,18 @@ def initialize_distributed(
 ) -> None:
     """Multi-host bring-up (SURVEY §5.8): joins this process to the global
     device mesh over DCN via ``jax.distributed.initialize``; afterwards
-    ``make_mesh`` spans all hosts' devices. No-op for single-process runs."""
+    ``make_mesh`` spans all hosts' devices. No-op for single-process runs.
+
+    On the CPU backend the cross-process collectives implementation defaults
+    to none; select gloo (compiled into jaxlib) so multi-process CPU runs —
+    the TPU-less validation tier, ``tests/test_distributed.py`` — get working
+    psum/all-gather. TPU runs are unaffected (ICI/DCN collectives are native).
+    """
     if num_processes is None or num_processes <= 1:
         return
+    platforms = jax.config.jax_platforms or ""
+    if platforms.split(",")[0] == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
