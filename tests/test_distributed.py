@@ -132,7 +132,87 @@ _TRAIN_WORKER = textwrap.dedent(
 )
 
 
-def _run_pair(worker_src: str, ok_tag: str):
+_HARNESS_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    port, pid, root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    from video_gen_evals_tpu.parallel.mesh import (
+        initialize_distributed, make_mesh,
+    )
+    initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+
+    import json
+    import numpy as np
+    from video_gen_evals_tpu.core.config import PathsConfig, TrainConfig
+    from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+    import video_gen_evals_tpu.train.experiment as E
+
+    # every process builds the SAME deterministic fixture tree in its own dir
+    root = os.path.join(root, f"proc{pid}")
+    mesh_root, kp_root = make_fixture_tree(
+        root, ["JumpingJack", "PushUps"], videos_per_class=4,
+        frames=(60, 48, 40, 56), seed=5,
+    )
+
+    # orbax checkpoint saves would need coordinated multi-host paths; this
+    # test is about the train/eval math, so no-op them
+    E.save_params = lambda *a, **k: None
+    E.Experiment.save_resume_checkpoint = lambda self, epoch, path=None: ""
+
+    def cfg(name):
+        return TrainConfig(
+            paths=PathsConfig(
+                real_meshes_dir=mesh_root,
+                real_kp_dir=kp_root,
+                generated_meshes_dir=os.path.join(root, "none"),
+                human_scores=os.path.join(root, "none.json"),
+            ),
+            epochs=1, clip_len=16, stride=8, P=2, K=4,
+            d_model=32, time_layers=1, time_heads=4,
+            filter_classes=None,
+            save_dir=os.path.join(root, "SAVE_" + name),
+        )
+
+    def events(exp):
+        with open(exp.metrics_path) as f:
+            return {json.loads(l)["event"]: json.loads(l) for l in f}
+
+    # single-device reference (local devices only), then the REAL harness on
+    # a mesh spanning BOTH processes (2 x 2 devices, gloo collectives)
+    exp1 = E.Experiment(cfg("sd"), eval_batch=16)
+    exp1.run()
+    ev1 = events(exp1)
+
+    expm = E.Experiment(cfg("dp4_2proc"), mesh=make_mesh(4, 1), eval_batch=16)
+    expm.run()
+    evm = events(expm)
+
+    for key, field in (("train_epoch", "loss"), ("eval_loss", "loss"),
+                       ("centroid_distance", "avg")):
+        a, b = evm[key][field], ev1[key][field]
+        assert abs(a - b) <= 2e-3 * max(abs(b), 1e-6), (key, a, b)
+    print(f"HARNESS{pid}_OK", evm["train_epoch"]["loss"])
+    """
+)
+
+
+def test_two_process_experiment_run_matches_single_device(tmp_path):
+    """The COMPLETE harness (`Experiment.run`: epoch loop, centroids, eval
+    passes, JSONL metrics) executes on a mesh spanning two real processes
+    and reproduces the single-device epoch losses — multi-host training is
+    the same program, with hosts contributing their local batch shards."""
+    _run_pair(_HARNESS_WORKER, "HARNESS", extra_args=[str(tmp_path)],
+              timeout=840)
+
+
+def _run_pair(worker_src: str, ok_tag: str, extra_args=(), timeout=300):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -141,7 +221,8 @@ def _run_pair(worker_src: str, ok_tag: str):
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", worker_src, str(port), str(pid)],
+            [sys.executable, "-c", worker_src, str(port), str(pid),
+             *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd="/root/repo", env=env,
         )
@@ -150,7 +231,7 @@ def _run_pair(worker_src: str, ok_tag: str):
     outs = []
     for pid, proc in enumerate(procs):
         try:
-            out, err = proc.communicate(timeout=300)
+            out, err = proc.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for x in procs:
                 x.kill()

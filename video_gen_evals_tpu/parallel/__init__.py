@@ -7,9 +7,11 @@ from .mesh import (
     tp_param_sharding,
     initialize_distributed,
     shard_items,
+    put_global,
 )
 
 __all__ = [
+    "put_global",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

@@ -79,6 +79,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` that also works on a multi-process mesh.
+
+    ``jax.device_put`` refuses shardings with non-addressable devices; on a
+    multi-host mesh every process holds the same full host value (the
+    harness model: deterministic global batch everywhere), so build the
+    global array explicitly — each process materializes only the shards its
+    local devices own. Typed PRNG keys round-trip through ``key_data`` (the
+    callback path can't construct extended dtypes directly).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+
+    def one(leaf):
+        if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
+            leaf.dtype, jax.dtypes.prng_key
+        ):
+            kd = np.asarray(jax.random.key_data(leaf))
+            g = jax.make_array_from_callback(
+                kd.shape, sharding, lambda idx: kd[idx]
+            )
+            return jax.random.wrap_key_data(g)
+        leaf = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            leaf.shape, sharding, lambda idx: leaf[idx]
+        )
+
+    return jax.tree.map(one, x)
+
+
 def _spec_for_param(path: str) -> P:
     """Megatron-style TP layout: column-parallel qkv/linear1 (shard output
     features), row-parallel out_proj/linear2 (shard input features); conv

@@ -177,11 +177,9 @@ class Extractor:
         """Replicate the param tree onto the mesh ONCE — without this every
         sjit stage call would re-broadcast the (potentially GB-scale) params
         per chunk to satisfy its replicated in_sharding."""
-        from ..parallel.mesh import replicated_sharding
+        from ..parallel.mesh import put_global, replicated_sharding
 
-        self.params = jax.device_put(
-            self.params, replicated_sharding(self.mesh)
-        )
+        self.params = put_global(self.params, replicated_sharding(self.mesh))
 
     @classmethod
     def from_checkpoints(
@@ -241,14 +239,14 @@ class Extractor:
 
         mesh = self.mesh
         if mesh is not None:
-            from ..parallel.mesh import batch_sharding, replicated_sharding
+            from ..parallel.mesh import batch_sharding, put_global, replicated_sharding
 
             _DP = batch_sharding(mesh)
             _REP = replicated_sharding(mesh)
             # chunks sliced/padded from a larger array carry whatever layout
             # the slice produced — re-place them on the data axis so they
             # match the stage jits' in_shardings exactly
-            self._put_dp = lambda x: jax.device_put(x, _DP)
+            self._put_dp = lambda x: put_global(x, _DP)
         else:
             self._put_dp = lambda x: x
 

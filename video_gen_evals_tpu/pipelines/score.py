@@ -150,7 +150,9 @@ class WindowEncoder:
                 )
             self._batch_shard = batch_sharding(mesh)
             self._rep_shard = replicated_sharding(mesh)
-            self.params = jax.device_put(params, self._rep_shard)
+            from ..parallel import put_global
+
+            self.params = put_global(params, self._rep_shard)
         gather = {
             "sliced": gather_windows_sliced,  # fastest pure-XLA path
             "take": gather_windows,           # exact for arbitrary starts
@@ -193,7 +195,15 @@ class WindowEncoder:
                 seq, frames = _forward(params, w)
                 return seq, tc_per_window(frames)
 
-        self._encode = jax.jit(_encode, static_argnames=("one_pass_raw",))
+        # multi-process mesh: all-gather the (small) outputs on device so
+        # every host can read them (dp-sharded outputs are not addressable
+        # across processes); single-process meshes keep the inferred sharding
+        out_s = None
+        if mesh is not None and not self._rep_shard.is_fully_addressable:
+            out_s = (self._rep_shard, self._rep_shard)
+        self._encode = jax.jit(
+            _encode, static_argnames=("one_pass_raw",), out_shardings=out_s
+        )
 
         if self._try_burst:
             from ..ops.window_kernel import pallas_gather_windows_burst
@@ -211,7 +221,8 @@ class WindowEncoder:
                     return seq, tc_per_window(frames)
 
             self._encode_burst = jax.jit(
-                _encode_burst, static_argnames=("one_pass_raw", "out_dim")
+                _encode_burst, static_argnames=("one_pass_raw", "out_dim"),
+                out_shardings=out_s,
             )
 
     def encode_bank(
@@ -227,8 +238,10 @@ class WindowEncoder:
         row_limit_d = jnp.asarray(bank.row_limit)
         z0_d = jnp.asarray(bank.z0_diff)
         if self.mesh is not None:
+            from ..parallel import put_global
+
             bank_d, offsets_d, row_limit_d, z0_d = (
-                jax.device_put(a, self._rep_shard)
+                put_global(a, self._rep_shard)
                 for a in (bank_d, offsets_d, row_limit_d, z0_d)
             )
 
@@ -255,8 +268,10 @@ class WindowEncoder:
                 st = np.concatenate([st, np.repeat(st[-1:], pad)])
             vi_d, st_d = jnp.asarray(vi), jnp.asarray(st)
             if self.mesh is not None:
-                vi_d = jax.device_put(vi_d, self._batch_shard)
-                st_d = jax.device_put(st_d, self._batch_shard)
+                from ..parallel import put_global
+
+                vi_d = put_global(vi_d, self._batch_shard)
+                st_d = put_global(st_d, self._batch_shard)
             if use_burst:
                 seq, tc = self._encode_burst(
                     self.params,

@@ -157,11 +157,13 @@ class Experiment:
         if mesh is not None:
             # params TP-sharded over `model` (replicated when n_model=1);
             # optimizer moments inherit the placement via zeros_like
-            from ..parallel import tp_param_sharding
+            from ..parallel import put_global, tp_param_sharding
 
-            params = jax.device_put(params, tp_param_sharding(mesh, params))
-            step_counter = jax.device_put(step_counter, self._rep_shard)
-            self.rng = jax.device_put(self.rng, self._rep_shard)
+            params = jax.tree.map(
+                put_global, params, tp_param_sharding(mesh, params)
+            )
+            step_counter = put_global(step_counter, self._rep_shard)
+            self.rng = put_global(self.rng, self._rep_shard)
         self.state = TrainState(params, self.tx.init(params), step_counter)
         self.train_step = make_train_step(self.model, self.tx, cfg.hard_negative_weight)
         self.eval_loss = make_eval_loss_fn(self.model, cfg.hard_negative_weight)
@@ -185,18 +187,23 @@ class Experiment:
         if self.mesh is not None:
             # full bank replicated on every chip: each data shard gathers its
             # own window slice from a local copy (no cross-chip traffic)
-            arrs = tuple(jax.device_put(a, self._rep_shard) for a in arrs)
+            from ..parallel import put_global
+
+            arrs = tuple(put_global(a, self._rep_shard) for a in arrs)
         return arrs
 
     def _shard_batch(self, x):
-        """Shard the leading (window) axis over `data` when a mesh is active;
-        tail batches that don't divide stay replicated (same values, no
-        resharding error)."""
+        """Shard the leading (window) axis over `data` when a mesh is active
+        (multi-process meshes included — every host computes the same full
+        batch and contributes its shard); tail batches that don't divide
+        stay replicated (same values, no resharding error)."""
         if self.mesh is None:
             return x
+        from ..parallel import put_global
+
         if x.shape[0] % self.mesh.shape["data"] == 0:
-            return jax.device_put(x, self._batch_shard)
-        return jax.device_put(x, self._rep_shard)
+            return put_global(x, self._batch_shard)
+        return put_global(x, self._rep_shard)
 
     def _gather_batch(self, bank, bank_dev, windows, idxs):
         vi = self._shard_batch(jnp.asarray(np.array([windows[i][0] for i in idxs], np.int32)))
