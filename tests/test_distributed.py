@@ -161,11 +161,6 @@ _HARNESS_WORKER = textwrap.dedent(
         frames=(60, 48, 40, 56), seed=5,
     )
 
-    # orbax checkpoint saves would need coordinated multi-host paths; this
-    # test is about the train/eval math, so no-op them
-    E.save_params = lambda *a, **k: None
-    E.Experiment.save_resume_checkpoint = lambda self, epoch, path=None: ""
-
     def cfg(name):
         return TrainConfig(
             paths=PathsConfig(
@@ -210,6 +205,84 @@ def test_two_process_experiment_run_matches_single_device(tmp_path):
     the same program, with hosts contributing their local batch shards."""
     _run_pair(_HARNESS_WORKER, "HARNESS", extra_args=[str(tmp_path)],
               timeout=840)
+
+
+_CKPT_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    port, pid, root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    from video_gen_evals_tpu.parallel.mesh import (
+        fetch_global, initialize_distributed, make_mesh,
+    )
+    initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+
+    import numpy as np
+    from video_gen_evals_tpu.core.config import PathsConfig, TrainConfig
+    from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+    from video_gen_evals_tpu.train.experiment import Experiment
+    from video_gen_evals_tpu.train.step import TrainState
+
+    proot = os.path.join(root, f"proc{pid}")
+    mesh_root, kp_root = make_fixture_tree(
+        proot, ["JumpingJack"], videos_per_class=3, frames=(48, 40, 56), seed=9,
+    )
+
+    def cfg(name):
+        return TrainConfig(
+            paths=PathsConfig(
+                real_meshes_dir=mesh_root,
+                real_kp_dir=kp_root,
+                generated_meshes_dir=os.path.join(proot, "none"),
+                human_scores=os.path.join(proot, "none.json"),
+            ),
+            epochs=1, clip_len=16, stride=8, P=1, K=4,
+            d_model=32, time_layers=1, time_heads=4,
+            filter_classes=None,
+            save_dir=os.path.join(proot, "SAVE_" + name),
+        )
+
+    mesh = make_mesh(4, 1)
+    exp = Experiment(cfg("a"), mesh=mesh, eval_batch=8)
+    # make the saved state distinguishable from a fresh init
+    exp.state = TrainState(
+        jax.tree.map(lambda p: p + 1.0, exp.state.params),
+        exp.state.opt_state,
+        exp.state.step + 3,
+    )
+    exp.best_eval_loss = 0.125
+    # SHARED path on the common filesystem: process 0 writes the flat npz,
+    # everyone barriers, then every process restores the same bytes
+    ckpt = os.path.join(root, "shared_ckpt")
+    exp.save_resume_checkpoint(4, path=ckpt)
+    assert os.path.exists(ckpt + ".npz"), "npz checkpoint not written"
+
+    exp2 = Experiment(cfg("b"), mesh=mesh, eval_batch=8)
+    nxt = exp2.restore_resume_checkpoint(ckpt)
+    assert nxt == 5, nxt
+    assert exp2.best_eval_loss == 0.125, exp2.best_eval_loss
+    a, b = fetch_global(exp.state.params), fetch_global(exp2.state.params)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(x, y)
+    assert int(fetch_global(exp2.state.step)) == 3
+    print(f"CKPT{pid}_OK")
+    """
+)
+
+
+def test_two_process_checkpoint_round_trip(tmp_path):
+    """Multi-host checkpointing: on a mesh spanning two processes,
+    ``save_resume_checkpoint`` all-gathers the train state (collective),
+    writes ONE flat npz from process 0, and ``restore_resume_checkpoint``
+    re-places every leaf onto its live sharding on every process — exact
+    state round-trip without orbax multihost coordination."""
+    _run_pair(_CKPT_WORKER, "CKPT", extra_args=[str(tmp_path)], timeout=600)
 
 
 def _run_pair(worker_src: str, ok_tag: str, extra_args=(), timeout=300):

@@ -8,10 +8,12 @@ from .mesh import (
     initialize_distributed,
     shard_items,
     put_global,
+    fetch_global,
 )
 
 __all__ = [
     "put_global",
+    "fetch_global",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

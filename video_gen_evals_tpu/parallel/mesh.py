@@ -109,6 +109,42 @@ def put_global(x, sharding: NamedSharding):
     return jax.tree.map(one, x)
 
 
+def fetch_global(x):
+    """``device_get`` that also works on a multi-process mesh.
+
+    Fully-addressable leaves pass straight through. Leaves that span other
+    processes are all-gathered onto every host through ONE jitted identity
+    with replicated out-shardings — this is a COLLECTIVE: every process in
+    the mesh must call it at the same point. Typed PRNG keys come back as
+    their raw ``key_data`` (numpy cannot hold extended dtypes).
+    """
+    leaves, treedef = jax.tree.flatten(x)
+    idx = [
+        i
+        for i, l in enumerate(leaves)
+        if isinstance(l, jax.Array) and not l.is_fully_addressable
+    ]
+    if not idx:
+        return jax.device_get(x)
+    rep = NamedSharding(leaves[idx[0]].sharding.mesh, P())
+    # only the cross-process leaves ride the collective — host/local leaves
+    # must not be fed to the global-mesh program
+    sub = [
+        jax.random.key_data(leaves[i])
+        if jax.dtypes.issubdtype(leaves[i].dtype, jax.dtypes.prng_key)
+        else leaves[i]
+        for i in idx
+    ]
+    gathered = jax.jit(
+        lambda *t: t, out_shardings=(rep,) * len(sub)
+    )(*sub)
+    remote = set(idx)
+    out = [l if i in remote else jax.device_get(l) for i, l in enumerate(leaves)]
+    for i, g in zip(idx, gathered):
+        out[i] = np.asarray(g.addressable_data(0))
+    return jax.tree.unflatten(treedef, out)
+
+
 def _spec_for_param(path: str) -> P:
     """Megatron-style TP layout: column-parallel qkv/linear1 (shard output
     features), row-parallel out_proj/linear2 (shard input features); conv

@@ -5,6 +5,16 @@ optimizer/step state (no true resume, ref ``train.py:450-455``). Here we keep
 that capability (export/import of bare params, incl. torch ``.pt`` via
 ``models.torch_compat``) and add what it lacks: full train-state checkpoints
 {params, opt_state, step} for exact resume.
+
+Multi-process runs (``jax.process_count() > 1``, SURVEY §5.8): state that
+spans hosts is first all-gathered (``parallel.fetch_global`` — a collective,
+so EVERY process must reach the save call), then process 0 alone writes a
+flat ``.npz`` keyed by tree paths, and all processes synchronize before
+returning. Restore reads the same file on every process (shared filesystem —
+or any path holding identical bytes) and the experiment re-places leaves onto
+their live shardings. Orbax stays the single-process format; the ``.npz``
+sidesteps orbax's own multihost barriers, which would require coordinated
+per-process handshakes this harness doesn't need.
 """
 
 from __future__ import annotations
@@ -13,32 +23,97 @@ import os
 import typing as T
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
+from jax.tree_util import keystr, tree_flatten_with_path
 
 
 def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
+def _npz_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _flatten_with_paths(tree) -> T.Dict[str, np.ndarray]:
+    leaves, _ = tree_flatten_with_path(tree)
+    return {keystr(kp): np.asarray(v) for kp, v in leaves}
+
+
+def _barrier() -> None:
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("video_gen_evals_ckpt")
+
+
+def _save_multiprocess(path: str, tree) -> None:
+    """Collective: all-gather ``tree`` to every host, write on process 0."""
+    from ..parallel.mesh import fetch_global
+
+    host = fetch_global(tree)
+    if jax.process_index() == 0:
+        out = _npz_path(_abs(path))
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        np.savez(out, **_flatten_with_paths(host))
+    _barrier()
+
+
+def _restore_npz(path: str, like):
+    """Rebuild ``like``'s tree structure from a path-keyed flat npz."""
+    flat, treedef = tree_flatten_with_path(like)
+    with np.load(_npz_path(_abs(path))) as z:
+        missing = [keystr(kp) for kp, _ in flat if keystr(kp) not in z.files]
+        if missing:
+            raise KeyError(
+                f"checkpoint {path} is missing {len(missing)} leaves, "
+                f"e.g. {missing[:3]}"
+            )
+        leaves = [z[keystr(kp)] for kp, _ in flat]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), leaves
+    )
+
+
 def save_params(path: str, params) -> None:
+    if jax.process_count() > 1:
+        _save_multiprocess(path, params)
+        return
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(_abs(path), jax.device_get(params))
     ckptr.wait_until_finished()
 
 
-def restore_params(path: str):
+def restore_params(path: str, like=None):
+    if os.path.exists(_npz_path(_abs(path))) and not os.path.isdir(_abs(path)):
+        if like is None:
+            raise ValueError(
+                "restoring a multi-process .npz checkpoint needs a `like` "
+                "tree (shapes/structure template)"
+            )
+        return _restore_npz(path, like)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(_abs(path))
 
 
 def save_train_state(path: str, state: T.Dict[str, T.Any]) -> None:
     """state: {"params": ..., "opt_state": ..., "step": int} pytree."""
+    if jax.process_count() > 1:
+        _save_multiprocess(path, state)
+        return
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(_abs(path), jax.device_get(state))
     ckptr.wait_until_finished()
 
 
 def restore_train_state(path: str, like: T.Optional[T.Dict[str, T.Any]] = None):
+    if os.path.exists(_npz_path(_abs(path))) and not os.path.isdir(_abs(path)):
+        if like is None:
+            raise ValueError(
+                "restoring a multi-process .npz checkpoint needs a `like` "
+                "tree (shapes/structure template)"
+            )
+        return _restore_npz(path, like)
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
         return ckptr.restore(_abs(path), like)

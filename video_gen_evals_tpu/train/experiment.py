@@ -443,19 +443,43 @@ class Experiment:
         """Restore full train state; returns the next epoch to run."""
         from .checkpoint import restore_train_state
 
+        if self.mesh is not None:
+            # abstract template — device_get can't fetch cross-process shards
+            abstract = lambda t: jax.tree_util.tree_map(
+                lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t
+            )
+            params_like = abstract(self.state.params)
+            opt_like = abstract(self.state.opt_state)
+        else:
+            params_like = jax.device_get(self.state.params)
+            opt_like = jax.device_get(self.state.opt_state)
         like = {
-            "params": jax.device_get(self.state.params),
-            "opt_state": jax.device_get(self.state.opt_state),
+            "params": params_like,
+            "opt_state": opt_like,
             "step": np.zeros((), np.int32),
             "epoch": np.zeros((), np.int32),
             "best_eval_loss": np.zeros((), np.float32),
         }
         st = restore_train_state(path, like)
-        self.state = TrainState(
-            jax.tree_util.tree_map(jnp.asarray, st["params"]),
-            jax.tree_util.tree_map(jnp.asarray, st["opt_state"]),
-            jnp.asarray(st["step"]),
-        )
+        if self.mesh is not None:
+            # re-place every leaf on its live sharding (multi-process meshes
+            # included: every host read the same checkpoint bytes)
+            from ..parallel import put_global
+
+            place = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: put_global(np.asarray(n), o.sharding), new, old
+            )
+            self.state = TrainState(
+                place(st["params"], self.state.params),
+                place(st["opt_state"], self.state.opt_state),
+                place(st["step"], self.state.step),
+            )
+        else:
+            self.state = TrainState(
+                jax.tree_util.tree_map(jnp.asarray, st["params"]),
+                jax.tree_util.tree_map(jnp.asarray, st["opt_state"]),
+                jnp.asarray(st["step"]),
+            )
         self.best_eval_loss = float(st["best_eval_loss"])
         return int(st["epoch"]) + 1
 
