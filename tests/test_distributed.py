@@ -28,10 +28,20 @@ _WORKER = textwrap.dedent(
     jax.config.update("jax_platforms", "cpu")
 
     port, pid = sys.argv[1], int(sys.argv[2])
-    from video_gen_evals_tpu.parallel.mesh import (
-        initialize_distributed, make_mesh, shard_items,
+    from video_gen_evals_tpu.parallel.mesh import make_mesh, shard_items
+
+    # join through the CLIs' own flag plumbing (utils.cli), exactly as
+    # `--coordinator/--num-processes/--process-id` would on train/score/extract
+    import argparse
+    from video_gen_evals_tpu.utils.cli import (
+        add_distributed_args, maybe_initialize_distributed,
     )
-    initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+    p = argparse.ArgumentParser()
+    add_distributed_args(p)
+    maybe_initialize_distributed(p.parse_args([
+        "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--process-id", str(pid),
+    ]))
     assert jax.process_count() == 2, jax.process_count()
     assert jax.process_index() == pid, (jax.process_index(), pid)
     assert jax.local_device_count() == 2

@@ -48,3 +48,44 @@ def test_train_cli_main(tmp_path, capsys):
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         events = [json.loads(l) for l in f]
     assert any(e["event"] == "train_epoch" and np.isfinite(e["loss"]) for e in events)
+
+
+def test_train_cli_resume(tmp_path, capsys):
+    """--resume restores a previous run's resume checkpoint and continues at
+    the next epoch (only the remaining epochs are trained)."""
+    mesh_root, kp_root = make_fixture_tree(
+        str(tmp_path), ["JumpingJack", "PushUps"], videos_per_class=3,
+        frames=(40, 48, 36), seed=11,
+    )
+    from video_gen_evals_tpu.core.config import PathsConfig, TrainConfig
+
+    def write_cfg(name, epochs):
+        path = str(tmp_path / f"cfg_{name}.json")
+        TrainConfig(
+            paths=PathsConfig(
+                real_meshes_dir=mesh_root,
+                real_kp_dir=kp_root,
+                generated_meshes_dir=str(tmp_path / "none"),
+                human_scores=str(tmp_path / "none.json"),
+            ),
+            epochs=epochs, clip_len=16, stride=8, P=2, K=4,
+            d_model=32, time_layers=1, time_heads=4,
+            filter_classes=None,
+            save_dir=str(tmp_path / f"SAVE_{name}"),
+        ).to_json(path)
+        return path
+
+    train_cli.main(["--config", write_cfg("first", 1)])
+    (run1,) = os.listdir(str(tmp_path / "SAVE_first"))
+    resume = os.path.join(str(tmp_path / "SAVE_first"), run1, "resume_epoch000")
+    assert os.path.exists(resume)
+
+    train_cli.main(["--config", write_cfg("second", 2), "--resume", resume])
+    printed = capsys.readouterr().out
+    assert "continuing at epoch 1" in printed
+    (run2,) = os.listdir(str(tmp_path / "SAVE_second"))
+    with open(os.path.join(str(tmp_path / "SAVE_second"), run2, "metrics.jsonl")) as f:
+        epochs_trained = [
+            e["epoch"] for e in map(json.loads, f) if e["event"] == "train_epoch"
+        ]
+    assert epochs_trained == [1], epochs_trained

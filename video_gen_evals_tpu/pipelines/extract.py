@@ -980,7 +980,11 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "hosts may share one output root (no merge step)")
     p.add_argument("--host-id", type=int, default=-1,
                    help="this host's shard index; -1 = jax.process_index()")
+    from ..utils.cli import add_distributed_args, maybe_initialize_distributed
+
+    add_distributed_args(p)
     args = p.parse_args(argv)
+    maybe_initialize_distributed(args)
 
     from ..models.rcnn import RCNNConfig
 

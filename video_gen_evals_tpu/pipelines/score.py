@@ -550,7 +550,11 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "python -m video_gen_evals_tpu.pipelines.merge_scores")
     p.add_argument("--host-id", type=int, default=-1,
                    help="this host's shard index; -1 = jax.process_index()")
+    from ..utils.cli import add_distributed_args, maybe_initialize_distributed
+
+    add_distributed_args(p)
     args = p.parse_args(argv)
+    maybe_initialize_distributed(args)
 
     from ..core.config import BugCompat
 

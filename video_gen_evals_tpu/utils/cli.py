@@ -1,0 +1,55 @@
+"""Shared CLI plumbing for pipeline entry points.
+
+Multi-host bring-up flags (SURVEY §5.8): every process of a distributed run
+invokes the same CLI with the same ``--coordinator``/``--num-processes``
+plus its own ``--process-id``; after bring-up, device meshes (``--dp``,
+``--mesh-data``) span ALL hosts' devices and ``--host-id -1`` resolves to
+``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_distributed_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--coordinator",
+        default=None,
+        help="multi-host bring-up (SURVEY §5.8): jax.distributed coordinator "
+        "address host:port; run this CLI on every process with the same "
+        "flags plus its own --process-id",
+    )
+    p.add_argument(
+        "--num-processes",
+        type=int,
+        default=None,
+        help="total number of processes in the distributed run",
+    )
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=None,
+        help="this process's index in [0, --num-processes)",
+    )
+
+
+def maybe_initialize_distributed(args: argparse.Namespace) -> None:
+    """Join the distributed runtime when --num-processes > 1. Must run
+    before anything creates the jax backend client."""
+    if getattr(args, "num_processes", None) is None or args.num_processes <= 1:
+        return
+    import jax
+
+    from ..parallel import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    print(
+        f"Joined distributed runtime: process {jax.process_index()} "
+        f"of {jax.process_count()} ({jax.local_device_count()} local / "
+        f"{len(jax.devices())} global devices)"
+    )
