@@ -68,3 +68,31 @@ def test_resume_reproduces_uninterrupted_run(data):
         jax.tree_util.tree_leaves(final_a), jax.tree_util.tree_leaves(final_c)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_npz_params_restore_without_template(tmp_path):
+    """Multi-process runs save params as a flat path-keyed npz (process-0
+    write); restore_params must rebuild the nested dict WITHOUT a `like`
+    template so e.g. the score CLI can load multi-host-trained checkpoints."""
+    from video_gen_evals_tpu.train import checkpoint as C
+
+    params = {
+        "enc": {
+            "stem": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "bias": np.ones(3, np.float32),
+        },
+        "head": {"w": np.full((4,), 2.5, np.float32)},
+    }
+    np.savez(str(tmp_path / "p.npz"), **C._flatten_with_paths(params))
+    out = C.restore_params(str(tmp_path / "p"))
+    assert set(out) == {"enc", "head"}
+    np.testing.assert_array_equal(out["enc"]["stem"]["kernel"],
+                                  params["enc"]["stem"]["kernel"])
+    np.testing.assert_array_equal(out["enc"]["bias"], params["enc"]["bias"])
+    np.testing.assert_array_equal(out["head"]["w"], params["head"]["w"])
+
+    # non-dict nodes (e.g. optimizer tuples) still demand a template
+    flat = C._flatten_with_paths({"a": (np.zeros(1), np.ones(1))})
+    np.savez(str(tmp_path / "t.npz"), **flat)
+    with pytest.raises(ValueError, match="non-dict pytree node"):
+        C.restore_params(str(tmp_path / "t"))

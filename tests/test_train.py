@@ -140,6 +140,18 @@ def test_make_mesh_rejects_insufficient_devices():
     assert make_mesh(n_data=4, n_model=2).shape == {"data": 4, "model": 2}
 
 
+def test_make_mesh_rejects_partial_mesh_multiprocess(monkeypatch):
+    """In a multi-process runtime a mesh over a strict subset of the global
+    devices would strand the cut processes outside every collective."""
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="span all 8 global devices"):
+        make_mesh(n_data=4, n_model=1)
+    # full span still fine
+    assert make_mesh(n_data=8, n_model=1).shape == {"data": 8, "model": 1}
+
+
 @pytest.fixture(scope="module")
 def tiny_env(tmp_path_factory):
     root = tmp_path_factory.mktemp("train_e2e")

@@ -89,3 +89,24 @@ def test_train_cli_resume(tmp_path, capsys):
             e["epoch"] for e in map(json.loads, f) if e["event"] == "train_epoch"
         ]
     assert epochs_trained == [1], epochs_trained
+
+
+def test_distributed_flag_validation():
+    """Partial distributed flags must fail loudly, not silently no-op."""
+    import argparse
+
+    import pytest
+
+    from video_gen_evals_tpu.utils.cli import (
+        add_distributed_args, maybe_initialize_distributed,
+    )
+
+    p = argparse.ArgumentParser()
+    add_distributed_args(p)
+    with pytest.raises(SystemExit, match="--num-processes"):
+        maybe_initialize_distributed(p.parse_args(["--coordinator", "x:1"]))
+    with pytest.raises(SystemExit, match="--num-processes"):
+        maybe_initialize_distributed(p.parse_args(["--process-id", "0"]))
+    with pytest.raises(SystemExit, match="--process-id"):
+        maybe_initialize_distributed(p.parse_args(["--num-processes", "2"]))
+    maybe_initialize_distributed(p.parse_args([]))  # clean no-op

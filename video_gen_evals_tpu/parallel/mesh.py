@@ -15,6 +15,7 @@ is first-class and TPU-native:
 
 from __future__ import annotations
 
+import functools
 import typing as T
 
 import jax
@@ -44,6 +45,13 @@ def make_mesh(
             f"have {len(devices)} — on CPU, set "
             "XLA_FLAGS=--xla_force_host_platform_device_count=N to get "
             "virtual devices"
+        )
+    if need < len(devices) and jax.process_count() > 1:
+        # a partial mesh in a multi-process runtime strands the processes
+        # whose devices were cut — they could never join the collectives
+        raise ValueError(
+            f"multi-process runtime: the mesh must span all "
+            f"{len(devices)} global devices, got {n_data}x{n_model}={need}"
         )
     use = devices[:need]
     arr = np.array(use).reshape(n_data, n_model)
@@ -88,6 +96,12 @@ def put_global(x, sharding: NamedSharding):
     global array explicitly — each process materializes only the shards its
     local devices own. Typed PRNG keys round-trip through ``key_data`` (the
     callback path can't construct extended dtypes directly).
+
+    ``put_global``/``fetch_global`` deliberately parallel
+    ``jax.experimental.multihost_utils`` (host_local_array_to_global_array /
+    process_allgather): those assume uniform leaf kinds per call, while these
+    handle mixed trees (host + local + cross-process leaves, typed PRNG keys)
+    in one pass with replicated-value semantics.
     """
     if sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
@@ -126,23 +140,34 @@ def fetch_global(x):
     ]
     if not idx:
         return jax.device_get(x)
-    rep = NamedSharding(leaves[idx[0]].sharding.mesh, P())
-    # only the cross-process leaves ride the collective — host/local leaves
-    # must not be fed to the global-mesh program
-    sub = [
-        jax.random.key_data(leaves[i])
-        if jax.dtypes.issubdtype(leaves[i].dtype, jax.dtypes.prng_key)
-        else leaves[i]
-        for i in idx
-    ]
-    gathered = jax.jit(
-        lambda *t: t, out_shardings=(rep,) * len(sub)
-    )(*sub)
     remote = set(idx)
     out = [l if i in remote else jax.device_get(l) for i, l in enumerate(leaves)]
-    for i, g in zip(idx, gathered):
-        out[i] = np.asarray(g.addressable_data(0))
+    # group by mesh (leaves may live on different meshes), and only the
+    # cross-process leaves ride the collective — host/local leaves must not
+    # be fed to the global-mesh program
+    by_mesh: T.Dict[Mesh, T.List[int]] = {}
+    for i in idx:
+        by_mesh.setdefault(leaves[i].sharding.mesh, []).append(i)
+    for mesh, ids in by_mesh.items():
+        sub = [
+            jax.random.key_data(leaves[i])
+            if jax.dtypes.issubdtype(leaves[i].dtype, jax.dtypes.prng_key)
+            else leaves[i]
+            for i in ids
+        ]
+        gathered = _replicated_gather(mesh, len(sub))(*sub)
+        for i, g in zip(ids, gathered):
+            out[i] = np.asarray(g.addressable_data(0))
     return jax.tree.unflatten(treedef, out)
+
+
+@functools.lru_cache(maxsize=32)
+def _replicated_gather(mesh: Mesh, n: int):
+    """Cached jitted identity with replicated out-shardings — reusing the
+    wrapper keeps repeat gathers (e.g. the per-epoch checkpoint save) on the
+    in-process jit cache instead of re-tracing every call."""
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda *t: t, out_shardings=(rep,) * n)
 
 
 def _spec_for_param(path: str) -> P:

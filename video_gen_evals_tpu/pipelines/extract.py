@@ -994,6 +994,16 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
     mesh = None
     if args.mesh_data > 0:
+        import jax
+
+        if args.num_hosts > 1 and jax.process_count() > 1:
+            # per-host video shards feed the mesh DIFFERENT frames; a
+            # cross-process mesh requires identical inputs on every process
+            p.error(
+                "--num-hosts video sharding cannot combine with a "
+                "cross-process --mesh-data mesh: run one single-process "
+                "CLI per host (the DCN tier)"
+            )
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh_data, 1)

@@ -599,6 +599,16 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
     mesh = None
     if args.mesh_data > 0:
+        if args.num_hosts > 1 and jax.process_count() > 1:
+            # a cross-process mesh assumes every process feeds it the SAME
+            # batches; per-host manifest shards feed it different ones —
+            # garbage assignments or a collective-count deadlock
+            p.error(
+                "--num-hosts manifest sharding cannot combine with a "
+                "cross-process --mesh-data mesh: run one single-process "
+                "CLI per host (the DCN tier), or drop --num-hosts and "
+                "let the global mesh shard one manifest"
+            )
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh_data, 1)

@@ -20,6 +20,7 @@ per-process handshakes this harness doesn't need.
 from __future__ import annotations
 
 import os
+import re
 import typing as T
 
 import jax
@@ -39,6 +40,28 @@ def _npz_path(path: str) -> str:
 def _flatten_with_paths(tree) -> T.Dict[str, np.ndarray]:
     leaves, _ = tree_flatten_with_path(tree)
     return {keystr(kp): np.asarray(v) for kp, v in leaves}
+
+
+_DICT_KEY_RE = re.compile(r"\['([^']*)'\]")
+
+
+def _nest_from_paths(flat: T.Dict[str, np.ndarray]) -> T.Dict[str, T.Any]:
+    """Rebuild a pure nested-dict tree (flax param trees) from keystr paths
+    like ``['encoder']['stem']['kernel']``. Trees with non-dict nodes
+    (namedtuples, lists) need a ``like`` template instead."""
+    root: T.Dict[str, T.Any] = {}
+    for key, val in flat.items():
+        parts = _DICT_KEY_RE.findall(key)
+        if "".join(f"['{p}']" for p in parts) != key:
+            raise ValueError(
+                f"cannot rebuild nested structure for npz key {key!r} "
+                "(non-dict pytree node) — pass a `like` template"
+            )
+        d = root
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = val
+    return root
 
 
 def _barrier() -> None:
@@ -86,12 +109,12 @@ def save_params(path: str, params) -> None:
 
 def restore_params(path: str, like=None):
     if os.path.exists(_npz_path(_abs(path))) and not os.path.isdir(_abs(path)):
-        if like is None:
-            raise ValueError(
-                "restoring a multi-process .npz checkpoint needs a `like` "
-                "tree (shapes/structure template)"
-            )
-        return _restore_npz(path, like)
+        if like is not None:
+            return _restore_npz(path, like)
+        # param trees are pure nested dicts — rebuild from the key paths so
+        # multi-process-trained checkpoints load anywhere without a template
+        with np.load(_npz_path(_abs(path))) as z:
+            return _nest_from_paths({k: z[k] for k in z.files})
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(_abs(path))
 

@@ -38,7 +38,17 @@ def maybe_initialize_distributed(args: argparse.Namespace) -> None:
     """Join the distributed runtime when --num-processes > 1. Must run
     before anything creates the jax backend client."""
     if getattr(args, "num_processes", None) is None or args.num_processes <= 1:
+        if args.coordinator is not None or args.process_id is not None:
+            raise SystemExit(
+                "--coordinator/--process-id require --num-processes > 1 "
+                "(without it they would be silently ignored)"
+            )
         return
+    if args.process_id is None:
+        raise SystemExit(
+            "--num-processes > 1 requires --process-id (this process's "
+            "index in [0, --num-processes))"
+        )
     import jax
 
     from ..parallel import initialize_distributed
