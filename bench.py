@@ -65,9 +65,31 @@ def build_synthetic_bank(num_videos: int, frames: int, dim: int, seed: int = 0):
     return bank, offsets, row_limit
 
 
+def _require_backend(
+    timeout_s: int = int(os.environ.get("BENCH_BACKEND_TIMEOUT", "180")),
+) -> None:
+    """Fail fast instead of hanging forever when the TPU tunnel is in an
+    outage (observed: backend init blocks indefinitely — see CLAUDE.md).
+    Exits nonzero so the driver records a failure, not a timeout."""
+    import threading
+
+    ok: list = []
+    t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            f"bench: jax backend init did not complete within {timeout_s}s "
+            "(TPU tunnel outage?) — aborting",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+
 def main() -> None:
     from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
+    _require_backend()
     num_videos = int(os.environ.get("BENCH_VIDEOS", "64"))
     frames = int(os.environ.get("BENCH_FRAMES", "120"))
     batch = int(os.environ.get("BENCH_BATCH", "256"))
