@@ -498,3 +498,30 @@ def test_full_head_conversion_matches_torch_replica():
     )
     np.testing.assert_allclose(np.asarray(got["betas"]), want["betas"].numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got["cam"]), want["cam"].numpy(), atol=2e-5)
+
+
+def test_head_supports_multiple_ief_iterations():
+    """Regression: the IEF readout Dense modules must be constructed once
+    and shared across iterations — in-loop construction raised flax's
+    NameInUseError for any ief_iters >= 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_gen_evals_tpu.models.smpl_head import (
+        SMPLHeadConfig, SMPLTokenDecoderHead,
+    )
+
+    cfg = SMPLHeadConfig(
+        dim=32, context_dim=24, depth=1, heads=2, dim_head=8, mlp_dim=32,
+        token_num=6, token_class_num=8, token_code_dim=4,
+        dec_num_blocks=1, dec_hidden_dim=8, dec_token_inter_dim=6,
+        dec_hidden_inter_dim=10, ief_iters=3,
+    )
+    head = SMPLTokenDecoderHead(cfg)
+    ctx = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 5, 24)).astype(np.float32)
+    )
+    params = head.init(jax.random.key(0), ctx)["params"]
+    out = head.apply({"params": params}, ctx)
+    assert out["body_pose"].shape == (2, 23, 3, 3)
+    assert np.all(np.isfinite(np.asarray(out["token_out"])))

@@ -429,9 +429,8 @@ def rpn_proposals(
     B = rpn_outs[0][0].shape[0]
     lvl_scores, lvl_boxes, lvl_valid = [], [], []
     for (obj, deltas), anc in zip(rpn_outs, anchors):
-        A = obj.shape[-1]
         logits = obj.reshape(B, -1)                         # [B, HWA]
-        d = deltas.reshape(B, -1, A, 4).reshape(B, -1, 4)   # HWA major order
+        d = deltas.reshape(B, -1, 4)  # [B, HWA, 4], HWA major order
         n = logits.shape[1]
         kk = min(k, n)
         top, idx = jax.lax.top_k(logits, kk)

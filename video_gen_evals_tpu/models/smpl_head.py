@@ -248,6 +248,11 @@ class SMPLTokenDecoderHead(nn.Module):
         dict with body_pose/betas/global_orient/cam/token_out."""
         cfg = self.config
         B = context_tokens.shape[0]
+        if context_tokens.shape[-1] != cfg.context_dim:
+            raise ValueError(
+                f"context tokens width {context_tokens.shape[-1]} != "
+                f"config.context_dim {cfg.context_dim}"
+            )
 
         init_body_pose = self.param(
             "init_body_pose", nn.initializers.zeros, (1, cfg.npose)
@@ -261,19 +266,26 @@ class SMPLTokenDecoderHead(nn.Module):
 
         decoder = CrossAttentionDecoder(cfg, name="decoder")
         classifier = TokenClassifier(cfg, name="decpose")
+        # readouts constructed ONCE (shared across IEF iterations, matching
+        # the reference head); in-loop construction would raise flax's
+        # NameInUseError for ief_iters >= 2
+        dec_grot = nn.Dense(6, name="decpose_grot")
+        dec_hands = nn.Dense(12, name="decpose_hands")
+        dec_shape = nn.Dense(10, name="decshape")
+        dec_cam = nn.Dense(3, name="deccam")
         token_out = None
         for _ in range(cfg.ief_iters):
             token = jnp.zeros((B, 1, 1), context_tokens.dtype)  # zero input token
             token_out = decoder(token, context_tokens)[:, 0, :]  # [B, dim]
-            pred_grot = nn.Dense(6, name="decpose_grot")(token_out)
+            pred_grot = dec_grot(token_out)
             body_6d, _probs = classifier(token_out)
-            pred_hands = nn.Dense(12, name="decpose_hands")(token_out)
+            pred_hands = dec_hands(token_out)
             pred_body_pose = (
                 jnp.concatenate([pred_grot, body_6d, pred_hands], axis=-1)
                 + pred_body_pose
             )
-            pred_betas = nn.Dense(10, name="decshape")(token_out) + pred_betas
-            pred_cam = nn.Dense(3, name="deccam")(token_out) + pred_cam
+            pred_betas = dec_shape(token_out) + pred_betas
+            pred_cam = dec_cam(token_out) + pred_cam
 
         R = rot6d_to_rotmat(pred_body_pose.reshape(B, cfg.num_body_joints + 1, 6))
         return {
@@ -434,16 +446,24 @@ def torch_head_to_flax(sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig) -> T.Di
     tokenizer decoder, see :func:`_convert_decpose`; geometry can be derived
     first with :func:`classifier_config_from_state_dict`). The decoder alone
     determines ``token_out`` — the per-frame "vit" modality the scorer
-    consumes — so this mapping is what end-to-end feature parity rides on."""
+    consumes — so this mapping is what end-to-end feature parity rides on.
+    Any key left unconsumed is a layout mismatch and raises (the same
+    loud-failure policy as :func:`_convert_decpose` and the d2 converter) —
+    a silently half-converted head would only surface as score drift."""
+    used: T.Set[str] = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
 
     def dense(prefix):
-        out = {"kernel": np.transpose(sd[f"{prefix}.weight"], (1, 0))}
+        out = {"kernel": np.transpose(take(f"{prefix}.weight"), (1, 0))}
         if f"{prefix}.bias" in sd:
-            out["bias"] = sd[f"{prefix}.bias"]
+            out["bias"] = take(f"{prefix}.bias")
         return out
 
     def ln(prefix):
-        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+        return {"scale": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
 
     params: T.Dict[str, T.Any] = {}
     for name in ("decpose_grot", "decpose_hands", "decshape", "deccam"):
@@ -451,18 +471,19 @@ def torch_head_to_flax(sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig) -> T.Di
             params[name] = dense(name)
     for buf in ("init_body_pose", "init_betas", "init_cam"):
         if buf in sd:
-            params[buf] = sd[buf]
+            params[buf] = take(buf)
 
     decpose_sub = {
         k[len("decpose."):]: v for k, v in sd.items() if k.startswith("decpose.")
     }
+    used.update(k for k in sd if k.startswith("decpose."))  # validated inside
     if decpose_sub:
         params["decpose"] = _convert_decpose(decpose_sub, cfg)
 
     if "transformer.to_token_embedding.weight" in sd:
         dec: T.Dict[str, T.Any] = {
             "to_token_embedding": dense("transformer.to_token_embedding"),
-            "pos_embedding": sd["transformer.pos_embedding"],
+            "pos_embedding": take("transformer.pos_embedding"),
         }
         i = 0
         while f"transformer.transformer.layers.{i}.0.norm.weight" in sd:
@@ -483,4 +504,11 @@ def torch_head_to_flax(sd: T.Dict[str, np.ndarray], cfg: SMPLHeadConfig) -> T.Di
             dec[f"ff2_{i}"] = dense(f"{p}.2.fn.net.3")
             i += 1
         params["decoder"] = dec
+    leftover = set(sd) - used
+    if leftover:
+        raise ValueError(
+            f"torch_head_to_flax: {len(leftover)} unconsumed checkpoint "
+            f"key(s) — layout mismatch, refusing a half-converted head; "
+            f"e.g. {sorted(leftover)[:5]}"
+        )
     return params
