@@ -75,13 +75,13 @@ def main() -> None:
                 rng.integers(0, 255, size=(B, 240, 320, 3)).astype(np.float32)
             )
             carry = jnp.zeros((), jnp.float32)
-            box1, single = ex._detect_rcnn(ex.params["rcnn"], frames)
+            box1, single, _present = ex._detect_rcnn(ex.params["rcnn"], frames)
             _ = float(jnp.sum(box1).astype(jnp.float32))  # compile barrier
             for _pass in range(2):
                 t0 = time.perf_counter()
                 for i in range(iters):
                     fi = frames + (carry * 0 + jnp.float32(i))
-                    box1, single = ex._detect_rcnn(ex.params["rcnn"], fi)
+                    box1, single, _present = ex._detect_rcnn(ex.params["rcnn"], fi)
                     carry = jnp.sum(box1).astype(jnp.float32) + jnp.sum(
                         single.astype(jnp.float32)
                     )

@@ -380,26 +380,18 @@ def render_table(rows: T.Sequence[DiffRow], tol: float) -> str:
 # --------------------------------------------------------------------------
 
 def _load_state_dict(path: str, key_prefix: str = "") -> T.Dict[str, np.ndarray]:
-    if path.endswith(".npz"):
-        with np.load(path, allow_pickle=False) as f:
-            sd = {k: f[k] for k in f.files}
-    else:
-        import torch
+    """Thin wrapper over the canonical checkpoint loader
+    (``pipelines.weights``): handles .npz/.pt/.ckpt AND detectron2 .pkl
+    (plain pickled numpy — torch.load rejects it), strips DataParallel
+    prefixes, and fails loudly on a wrong --key-prefix."""
+    from video_gen_evals_tpu.pipelines.weights import (
+        load_torch_state_dict,
+        sub_state_dict,
+    )
 
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-        for k in ("state_dict", "model_state_dict", "model"):
-            if isinstance(obj, dict) and k in obj and isinstance(obj[k], dict):
-                obj = obj[k]
-                break
-        sd = {
-            k: v.detach().cpu().numpy()
-            for k, v in obj.items()
-            if hasattr(v, "detach")
-        }
+    sd = load_torch_state_dict(path)
     if key_prefix:
-        sd = {
-            k[len(key_prefix):]: v for k, v in sd.items() if k.startswith(key_prefix)
-        }
+        sd = sub_state_dict(sd, key_prefix)
     return sd
 
 

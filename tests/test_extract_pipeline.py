@@ -226,8 +226,9 @@ def test_rcnn_single_person_filter_semantics():
         B = frames_f32.shape[0]
         idx = jnp.arange(B)
         single = (idx % 3) == 1
+        present = (idx % 3) >= 1
         box = jnp.tile(jnp.asarray([[1.0, 2.0, 30.0, 40.0]]), (B, 1))
-        return box, single
+        return box, single, present
 
     ex._detect_rcnn = fake_detect
     frames = np.zeros((9, 48, 40, 3), np.uint8)

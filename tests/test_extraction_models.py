@@ -253,6 +253,9 @@ def test_dwpose_postprocess_semantics(rng):
 
 
 def test_flatten_first_person_validity(rng):
+    """Reference semantics (process_video.py:23-57): a frame with a detected
+    person is ALWAYS kept — visibility never gates, sub-threshold keypoints
+    flow in as -1 sentinels. The stricter visibility mask is opt-in."""
     kpts = rng.uniform(0, 100, size=(1, 134, 2)).astype(np.float32)
     wh = (jnp.float32(100), jnp.float32(100))
 
@@ -263,16 +266,21 @@ def test_flatten_first_person_validity(rng):
     assert bool(valid)
 
     scores_bad = scores.copy()
-    scores_bad[0, :18] = 0.1  # body missing
+    scores_bad[0, :18] = 0.1  # occluded body: ref keeps, -1 sentinels flow
     post = dwpose_postprocess(jnp.asarray(kpts), jnp.asarray(scores_bad), wh)
-    _, valid = flatten_first_person(post)
-    assert not bool(valid)
+    kp, valid = flatten_first_person(post)
+    assert bool(valid)
+    np.testing.assert_allclose(np.asarray(kp[:36]), -1.0)  # ref -1 sentinel
+    _, strict = flatten_first_person(post, visibility_rule=True)
+    assert not bool(strict)  # opt-in quality mask still available
 
     scores_nohand = scores.copy()
-    scores_nohand[0, 92:113] = 0.0  # left hand missing
+    scores_nohand[0, 92:113] = 0.0  # left hand invisible: ref still keeps
     post = dwpose_postprocess(jnp.asarray(kpts), jnp.asarray(scores_nohand), wh)
     _, valid = flatten_first_person(post)
-    assert not bool(valid)
+    assert bool(valid)
+    _, strict = flatten_first_person(post, visibility_rule=True)
+    assert not bool(strict)
 
 
 def test_pose_net_shapes(rng):

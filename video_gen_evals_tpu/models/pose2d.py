@@ -316,10 +316,10 @@ def mmpose_to_flax(sd: T.Dict[str, T.Any], cfg: PoseNetConfig) -> T.Dict:
     reference's ONNX graphs are exported from) onto :class:`RTMPoseNet`'s
     param tree. Works on ``{name: np.ndarray}``; no torch import needed."""
 
-    def conv(prefix, depthwise=False):
+    def conv(prefix):
+        # one transpose covers both regular [O,I,k,k]->[k,k,I,O] and
+        # depthwise [C,1,k,k]->[k,k,1,C] torch->flax layouts
         w = np.asarray(sd[f"{prefix}.weight"])
-        if depthwise:  # torch [C,1,k,k] -> flax [k,k,1,C]
-            return {"kernel": np.transpose(w, (2, 3, 1, 0))}
         return {"kernel": np.transpose(w, (2, 3, 1, 0))}
 
     def bn(prefix):
@@ -330,8 +330,8 @@ def mmpose_to_flax(sd: T.Dict[str, T.Any], cfg: PoseNetConfig) -> T.Dict:
             "var": np.asarray(sd[f"{prefix}.running_var"]),
         }
 
-    def convbn(prefix, depthwise=False):
-        return {"conv": conv(f"{prefix}.conv", depthwise), "bn": bn(f"{prefix}.bn")}
+    def convbn(prefix):
+        return {"conv": conv(f"{prefix}.conv"), "bn": bn(f"{prefix}.bn")}
 
     def dense(prefix, bias=True):
         out = {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (1, 0))}
@@ -342,7 +342,7 @@ def mmpose_to_flax(sd: T.Dict[str, T.Any], cfg: PoseNetConfig) -> T.Dict:
     def csp_block(prefix):
         return {
             "conv1": convbn(f"{prefix}.conv1"),
-            "conv2_dw": convbn(f"{prefix}.conv2.depthwise_conv", depthwise=True),
+            "conv2_dw": convbn(f"{prefix}.conv2.depthwise_conv"),
             "conv2_pw": convbn(f"{prefix}.conv2.pointwise_conv"),
         }
 
@@ -454,23 +454,35 @@ def dwpose_postprocess(
 
 
 def flatten_first_person(
-    post: T.Dict[str, jnp.ndarray]
+    post: T.Dict[str, jnp.ndarray], visibility_rule: bool = False
 ) -> T.Tuple[jnp.ndarray, jnp.ndarray]:
-    """The reference's 120-d flatten + validity rule
-    (ref ``process_video.py:23-57``), fixed-shape:
+    """The reference's 120-d flatten (ref ``process_video.py:23-57``),
+    fixed-shape. Returns (kp120 [120], valid bool).
 
-    valid iff the first person has >= 18 body keypoints available and both
-    hands present. Returns (kp120 [120], valid bool). With masks instead of
-    frame dropping, the caller decides whether to keep reference bug-compat
-    (drop frames) or aligned fixed-length output.
+    The reference's shape checks (``body_all.shape[0] >= 18``, two hand
+    rows) are structurally ALWAYS satisfied once any person is detected —
+    its only real drop condition is "no person in this frame", which in
+    this fixed-shape design lives with the detector (the caller ANDs its
+    person-present mask in). Visibility is never consulted: sub-threshold
+    keypoints flow into the 120-d vector as ``-1`` sentinels. So the
+    default returns valid=True. ``visibility_rule=True`` opts into a
+    stricter quality mask (all 18 body kps + >=1 kp per hand visible) that
+    has NO reference counterpart.
+
+    Hands are taken as rows 0 and 1 of the ``[2P, 21, 2]``
+    left-hands-then-right-hands stack, exactly like the reference's
+    ``h[0], h[1]`` — for P=1 that is person 0's left+right pair; for P>1
+    it reproduces the reference's quirk of pairing person 0's and person
+    1's LEFT hands (``dwpose_init.py:63-64``).
     """
     body = post["body"][0]            # [18, 2]
-    n_person = post["body"].shape[0]
     lhand = post["hands"][0]          # [21, 2]
-    rhand = post["hands"][n_person]   # person 0's second hand block
+    rhand = post["hands"][1]          # ref h[1] (p0's right hand iff P=1)
     kp120 = jnp.concatenate(
         [body.reshape(-1), lhand.reshape(-1), rhand.reshape(-1)]
     )
+    if not visibility_rule:
+        return kp120, jnp.bool_(True)
     body_ok = jnp.all(post["visible"][0, :18])
     lhand_ok = jnp.any(post["visible"][0, 92:113])
     rhand_ok = jnp.any(post["visible"][0, 113:134])

@@ -283,10 +283,11 @@ class Extractor:
             sy = H / dh
             boxes = boxes * jnp.stack([sx, sy, sx, sy]).astype(boxes.dtype)
             single = single_person_mask(valid)
+            present = jnp.any(valid, axis=-1)  # ref kp rule: >=1 person
             # the single person's box (argmax score among valid)
             best = jnp.argmax(jnp.where(valid, scores, -1.0), axis=-1)
             box1 = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
-            return box1, single
+            return box1, single, present
 
         def mesh_forward(params_vit, params_head, frames_f32, boxes_xyxy):
           with jax.default_matmul_precision(prec):
@@ -402,13 +403,14 @@ class Extractor:
                     & det["valid"]
                 )
                 single = jnp.sum(person.astype(jnp.int32), axis=-1) == 1
+                present = jnp.any(person, axis=-1)
                 best = jnp.argmax(
                     jnp.where(person, det["scores"], -1.0), axis=-1
                 )
                 box1 = jnp.take_along_axis(
                     boxes, best[:, None, None], axis=1
                 )[:, 0]
-                return box1, single
+                return box1, single, present
 
             self._detect_rcnn = sjit(detect_rcnn, ("rep", "dp"))
         else:
@@ -463,33 +465,38 @@ class Extractor:
 
     # ------------------------------------------------------------------
     def _detect_stage(self, frames_f32, wh, with_keypoints):
-        """(mesh boxes, pose boxes, single-person mask), all device-side.
+        """(mesh boxes, pose boxes, single-person mask, person-present
+        mask), all device-side.
 
         yolox mode: ONE shared detector pass feeds both crop branches.
         rcnn mode: mesh boxes + the video filter come from Faster R-CNN
         (the reference's mesh provenance); the pose branch keeps YOLOX
-        boxes (DWPose's own detector)."""
+        boxes (DWPose's own detector) — so the kp present mask is YOLOX's.
+        ``present`` ("any person this frame") is the reference's per-frame
+        keypoint drop rule (ref ``process_video.py:23-57`` drops a frame
+        only when no person is detected); ``single`` ("exactly one") is
+        the mesh filter (ref ``mesh_generator.py:103-111``)."""
         if self.rcnn is not None:
-            box_mesh, single = self._batched(
+            box_mesh, single, _ = self._batched(
                 lambda f: self._detect_rcnn(self.params["rcnn"], f),
                 frames_f32,
                 fetch=False,
                 batch=min(self.cfg.rcnn_frame_batch, self.cfg.frame_batch),
             )
-            box_pose = None
+            box_pose, present = None, None
             if with_keypoints:
-                box_pose, _ = self._batched(
+                box_pose, _, present = self._batched(
                     lambda f: self._detect(self.params["det"], f, wh),
                     frames_f32,
                     fetch=False,
                 )
-            return box_mesh, box_pose, single
-        box1, single = self._batched(
+            return box_mesh, box_pose, single, present
+        box1, single, present = self._batched(
             lambda f: self._detect(self.params["det"], f, wh),
             frames_f32,
             fetch=False,
         )
-        return box1, box1, single
+        return box1, box1, single, present
 
     def _upload_frames(self, frames: np.ndarray) -> jnp.ndarray:
         """Host uint8 frames -> device f32, ONE transfer.
@@ -528,7 +535,7 @@ class Extractor:
         # mesh/pose work is speculative w.r.t. the single-person ratio test —
         # for rejected videos it is wasted, but accepted videos (the common
         # case) never stall on the detector fetch.
-        box_mesh, box_pose, single = self._detect_stage(
+        box_mesh, box_pose, single, present = self._detect_stage(
             frames_f32, wh, with_keypoints
         )
         out = self._batched(
@@ -566,11 +573,9 @@ class Extractor:
         if not with_keypoints:
             return mesh, None
 
-        valid = np.asarray(valid)
+        valid = np.asarray(valid) & np.asarray(present)
         if self.cfg.keep_all_frames:
             valid = np.ones_like(valid, dtype=bool)
-        else:
-            valid = valid & single_np
         return mesh, {"kp120": np.asarray(kp120), "valid": valid}
 
     def process_videos_streamed(
@@ -637,7 +642,7 @@ class Extractor:
         stream = jnp.concatenate(devs, axis=0) if len(devs) > 1 else devs[0]
         wh = (jnp.float32(W), jnp.float32(H))
 
-        box_mesh, box_pose, single = self._detect_stage(
+        box_mesh, box_pose, single, present = self._detect_stage(
             stream, wh, with_keypoints
         )
         out = self._batched(
@@ -657,7 +662,7 @@ class Extractor:
             )
             kp120, kvalid = self._kp_post(kps134, sc134, wh)
             kp120 = np.asarray(kp120)
-            kvalid = np.asarray(kvalid)
+            kvalid = np.asarray(kvalid) & np.asarray(present)
 
         single_np = np.asarray(single)
         out = jax.tree_util.tree_map(np.asarray, out)
@@ -685,8 +690,6 @@ class Extractor:
                 v = kvalid[lo:hi]
                 if self.cfg.keep_all_frames:
                     v = np.ones_like(v, dtype=bool)
-                else:
-                    v = v & s
                 kp_by_name[name] = {"kp120": kp120[lo:hi], "valid": v}
             else:
                 kp_by_name[name] = None
@@ -709,7 +712,7 @@ class Extractor:
         Tn, H, W, _ = frames.shape
         frames_f32 = self._upload_frames(frames)
         wh = (jnp.float32(W), jnp.float32(H))
-        box1, single = self._batched(
+        box1, _single, present = self._batched(
             lambda f: self._detect(self.params["det"], f, wh),
             frames_f32,
             fetch=False,
@@ -722,11 +725,11 @@ class Extractor:
         )
 
         kp120, valid = self._kp_post(kps134, sc134, wh)
-        valid = np.asarray(valid)
+        # per-frame drop rule = "no person detected" (ref process_video.py
+        # keeps every frame with >=1 person; visibility never gates)
+        valid = np.asarray(valid) & np.asarray(present)
         if self.cfg.keep_all_frames:
             valid = np.ones_like(valid, dtype=bool)
-        else:
-            valid = valid & np.asarray(single)
         return {"kp120": np.asarray(kp120), "valid": valid}
 
     # ------------------------------------------------------------------

@@ -22,7 +22,13 @@ from __future__ import annotations
 import json
 import math
 import re
+import sys
 import typing as T
+
+# module-top relative import: direct-file execution (`python .../merge_scores.py`)
+# fails HERE, before any output is written, instead of half-succeeding after
+# the merge — run as `python -m video_gen_evals_tpu.pipelines.merge_scores`
+from ..metrics.correlation import match_and_correlate
 
 # per-video AC/TC may differ in the last float digits between runs of
 # different batch composition (padding/reduction order); overlaps within
@@ -31,7 +37,10 @@ import typing as T
 SCORE_ATOL = 1e-4
 SCORE_RTOL = 1e-4
 
-_HOST_RE = re.compile(r"\.host(\d+)of(\d+)\.json$")
+# extension-agnostic: score.py preserves the --output extension when tagging
+# shards (scores.host0of4.txt etc.), and the completeness check must not be
+# silently skipped for them
+_HOST_RE = re.compile(r"\.host(\d+)of(\d+)\.[^./\\]+$")
 
 
 def merge_score_shards(
@@ -64,6 +73,8 @@ def _scores_close(a: T.Dict[str, float], b: T.Dict[str, float]) -> bool:
     for k, va in a.items():
         vb = b[k]
         if isinstance(va, float) or isinstance(vb, float):
+            if math.isnan(va) and math.isnan(vb):
+                continue  # identical NaN re-runs are idempotent, not a conflict
             if not math.isclose(va, vb, rel_tol=SCORE_RTOL, abs_tol=SCORE_ATOL):
                 return False
         elif va != vb:
@@ -131,18 +142,30 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
     )
 
     if args.human_scores:
-        from ..metrics.correlation import match_and_correlate
-
         with open(args.human_scores) as f:
             human = json.load(f)
         ac_only = {k: v["ac"] for k, v in merged.items() if "ac" in v}
         tc_only = {k: v["tc"] for k, v in merged.items() if "tc" in v}
+        failed = False
         for key, scores in (("ac_corr", ac_only), ("tc_corr", tc_only)):
             corr = match_and_correlate(scores, human, key.split("_")[0])
-            if corr["spearman"] is not None:
+            if corr["spearman"] is None:
                 print(
-                    f"{key}: spearman={corr['spearman']:.4f} (n={corr['n']})"
+                    f"{key}: NOT computed — only {corr['n']} merged video(s) "
+                    "matched the human-score keys (need >= 2); check name "
+                    "normalization between scores and MOS JSON",
+                    file=sys.stderr,
                 )
+                failed = True
+                continue
+            pear = corr["pearson"]
+            pear_s = f"{pear:.4f}" if pear is not None else "nan"
+            print(
+                f"{key}: spearman={corr['spearman']:.4f} pearson={pear_s} "
+                f"p={corr['p_value']:.3g} (n={corr['n']})"
+            )
+        if failed:
+            raise SystemExit(2)
 
 
 if __name__ == "__main__":

@@ -98,12 +98,16 @@ def sub_state_dict(
 def extraction_params_from_checkpoints(
     cfg,                      # ExtractorConfig (already published-geometry)
     *,
-    tokenhmr: T.Optional[str] = None,
-    dwpose: T.Optional[str] = None,
-    yolox: T.Optional[str] = None,
-    rcnn: T.Optional[str] = None,
+    tokenhmr: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
+    dwpose: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
+    yolox: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
+    rcnn: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
 ) -> T.Dict[str, T.Dict]:
-    """Convert the provided checkpoint files into Extractor param subtrees.
+    """Convert the provided checkpoints into Extractor param subtrees.
+
+    Each net argument is a file path OR an already-loaded flat state_dict
+    (the ``_as_state_dict`` load-once pattern used by
+    ``Extractor.from_checkpoints`` to avoid re-reading multi-GB files).
 
     Returns a dict with any of the keys ``vit``/``head``/``pose``/``det``/
     ``rcnn`` — only the nets whose file was given. ``cfg`` must already hold
@@ -137,10 +141,10 @@ def extraction_params_from_checkpoints(
 def published_config(
     cfg,
     *,
-    tokenhmr: T.Optional[str] = None,
-    dwpose: T.Optional[str] = None,
-    yolox: T.Optional[str] = None,
-    rcnn: T.Optional[str] = None,
+    tokenhmr: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
+    dwpose: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
+    yolox: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
+    rcnn: T.Union[str, T.Dict[str, "np.ndarray"], None] = None,
 ):
     """Return ``cfg`` updated so each net with a checkpoint file uses its
     published geometry: ``yolox_l`` for the DWPose person detector and
