@@ -118,3 +118,17 @@ def test_stacked_fusion_matches_stage(rng):
                              stage_fusion="stacked")
     for u, v in zip(a, b):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_fused_block_rejects_unknown_strings():
+    """Unknown precision/variant strings must raise, not silently fall back
+    to a different-numerics kernel."""
+    x = jnp.zeros((4, 32, 256), jnp.float32)
+    w = jnp.zeros((5, 256, 256), jnp.float32)
+    g = jnp.zeros((256,), jnp.float32)
+    with pytest.raises(ValueError, match="precision"):
+        fused_temporal_block(x, w, w, g, g, dilation=1, block_windows=4,
+                             precision="default")
+    with pytest.raises(ValueError, match="variant"):
+        fused_temporal_block(x, w, w, g, g, dilation=1, block_windows=4,
+                             variant="mm-first")

@@ -324,3 +324,99 @@ def test_bank_cache_fingerprint_invalidation(pipeline, tmp_path):
     b3 = build_feature_bank_cached(items, paths, stats, cache_path=cache)
     np.testing.assert_array_equal(b3.bank, b1.bank)
     assert load_bank_fingerprint(cache) is not None
+
+
+def test_bank_cache_class_relabel_invalidation(pipeline, tmp_path):
+    """Relabeling a video's class (same file contents) must rebuild — AC
+    centroids ride ``bank.classes`` even when the bank matrix is unchanged."""
+    import dataclasses as dc
+
+    from video_gen_evals_tpu.data import build_feature_bank_cached
+    from video_gen_evals_tpu.data.features import bank_fingerprint
+
+    manifest, _kp_paths, stats, _bank = pipeline
+    # no class-dependent side files: relabeling must only change the labels
+    paths = ModalityPaths(layout="real")
+    mods = ["vit", "global", "pose", "beta"]
+    items = list(manifest.items)
+    cache = str(tmp_path / "bank.npz")
+    b1 = build_feature_bank_cached(items, paths, stats, mods, cache_path=cache)
+
+    relabeled = [dc.replace(items[0], cls=items[0].cls + "X")] + items[1:]
+    assert bank_fingerprint(relabeled, paths, stats, mods) != bank_fingerprint(
+        items, paths, stats, mods
+    )
+    b2 = build_feature_bank_cached(relabeled, paths, stats, mods, cache_path=cache)
+    assert b2.classes[0] != b1.classes[0]
+    assert b2.classes[0] == relabeled[0].cls
+    np.testing.assert_array_equal(b2.bank, b1.bank)  # same file contents
+
+
+def test_zero_frame_modality_is_hard_error(pipeline):
+    """A modality with ZERO frames must fail at bank-build time: its bank
+    would get row_limit -1 and windows would silently read the previous
+    video's rows."""
+    from video_gen_evals_tpu.data.features import compute_video_features
+    from video_gen_evals_tpu.utils.native_npz import load_npz
+
+    manifest, paths, stats, _bank = pipeline
+    item = manifest.items[0]
+    npz = dict(load_npz(item.path))
+    npz["vit"] = npz["vit"][:0]
+    with pytest.raises(ValueError, match="zero frames"):
+        compute_video_features(item, paths, stats, npz=npz)
+
+
+def test_gather_negative_start_stays_in_video():
+    """A negative start must clamp to the video's own frame 0 (the reference
+    slice-or-pad rule, ``slice_or_pad(-k)`` repeats frame 0) — NOT index into
+    the previous video's bank rows. The sliced/Pallas variants shift the
+    window back (documented divergence) but must also stay in-video."""
+    from video_gen_evals_tpu.data.features import gather_windows_sliced
+    from video_gen_evals_tpu.ops.window_kernel import (
+        pad_bank_lanes,
+        pallas_gather_windows,
+    )
+
+    V, rows, D, T_ = 2, 8, 4, 8
+    one_pass_raw = 2
+    bank = np.arange(V * rows * D, dtype=np.float32).reshape(V * rows, D)
+    args_np = (
+        np.array([0, rows], np.int32),          # offsets
+        np.array([rows - 1, rows - 1], np.int32),  # row_limit
+        np.full(D - one_pass_raw, -7.0, np.float32),  # z0_diff
+    )
+    vi = np.array([1], np.int32)
+    st = np.array([-3], np.int32)
+
+    out = np.asarray(
+        gather_windows(
+            jnp.asarray(bank), *map(jnp.asarray, args_np), one_pass_raw,
+            jnp.asarray(vi), jnp.asarray(st), T_,
+        )
+    )[0]
+    # starts -3..4 clamp to 0..4: rows 0,0,0,0,1,..,4 of video 1
+    v1 = bank[rows : 2 * rows]
+    np.testing.assert_array_equal(out[0, :one_pass_raw], v1[0, :one_pass_raw])
+    np.testing.assert_array_equal(out[0, one_pass_raw:], args_np[2])
+    np.testing.assert_array_equal(out[1:4], np.repeat(v1[:1], 3, axis=0))
+    np.testing.assert_array_equal(out[4:], v1[1:5])
+
+    sliced = np.asarray(
+        gather_windows_sliced(
+            jnp.asarray(bank), *map(jnp.asarray, args_np), one_pass_raw,
+            jnp.asarray(vi), jnp.asarray(st), T_,
+        )
+    )[0]
+    # never reads video 0 (row 0's diff block is the z0 overwrite)
+    assert sliced[:, :one_pass_raw].min() >= v1.min()
+    np.testing.assert_array_equal(sliced[1:], v1[1:T_])  # shifted-back window
+
+    bank_p = pad_bank_lanes(jnp.asarray(bank))
+    pal = np.asarray(
+        pallas_gather_windows(
+            jnp.asarray(bank_p), *map(jnp.asarray, args_np), one_pass_raw,
+            jnp.asarray(vi), jnp.asarray(st), T_, out_dim=D, interpret=True,
+        )
+    )[0]
+    np.testing.assert_array_equal(pal, sliced)

@@ -105,3 +105,21 @@ def test_correlation_sign_inverted():
 def test_correlation_too_few_matches():
     out = match_and_correlate({"a": 1.0}, {"a.mp4": {"ac": 1.0}}, "ac")
     assert out["spearman"] is None and out["n"] == 1
+
+
+def test_empty_class_centroid_is_nan(rng):
+    """A class with ZERO training windows gets a NaN centroid (the
+    reference's mean over an empty set), not a zero centroid — a zero
+    centroid would score every video of that class at a fabricated
+    constant AC of exactly 1.0."""
+    emb = rng.normal(size=(6, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    labels = np.array([0, 0, 2, 2, 2, 0], np.int32)  # class 1 empty
+    cen, counts = build_centroids(jnp.asarray(emb), jnp.asarray(labels), 3)
+    cen = np.asarray(cen)
+    assert np.all(np.isnan(cen[1]))
+    assert np.all(np.isfinite(cen[[0, 2]]))
+    np.testing.assert_allclose(
+        np.linalg.norm(cen[[0, 2]], axis=-1), 1.0, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(counts), [3, 0, 3])

@@ -181,7 +181,7 @@ class VideoFeatures:
     """
 
     bank: np.ndarray       # [N_v, D] float32, normalized, sentinel-padded
-    height: int            # index of the last real frame's row
+    height: int            # number of real frames (sentinel rows start here)
     cls: str
     name: str
 
@@ -210,7 +210,6 @@ def compute_video_features(
     at least one full window of sentinel rows).
     """
     arrays = load_video_arrays(item, paths, strict_kp=True, npz=npz)
-    diffs = compute_modality_diffs(arrays)
     mods = list(modalities) if modalities is not None else stats.modalities
     missing = [m for m in mods if m not in arrays]
     if missing:
@@ -218,6 +217,19 @@ def compute_video_features(
             f"video '{item.name}': missing modalities {missing} "
             f"(available: {sorted(arrays)})"
         )
+    empty = [m for m in mods if arrays[m].shape[0] == 0]
+    if empty:
+        # a 0-row modality would yield a 0-row bank (row_limit -1) whose
+        # windows silently read the PREVIOUS video's rows — fail at load
+        raise ValueError(
+            f"video '{item.name}': modalities {empty} have zero frames "
+            "(truncated/failed extraction?)"
+        )
+    # validate first, diff only the requested subset (the delta pass is the
+    # expensive part — no point running it for excluded modalities or for
+    # videos that fail validation)
+    arrays = {m: arrays[m] for m in mods}
+    diffs = compute_modality_diffs(arrays)
 
     height = max(arrays[m].shape[0] for m in mods)
     n_rows = max(height + 1, min_rows)
@@ -341,7 +353,9 @@ def gather_windows(
     ANY start. Jit-friendly: static ``clip_len``/``one_pass_raw``.
     """
     i = jnp.arange(clip_len, dtype=starts.dtype)[None, :]
-    row = jnp.minimum(starts[:, None] + i, row_limit[video_idx][:, None])
+    # clamp BOTH ends: a negative start repeats the video's frame 0 (the
+    # reference slice rule) instead of indexing into the previous video
+    row = jnp.clip(starts[:, None] + i, 0, row_limit[video_idx][:, None])
     rows = jnp.take(bank, offsets[video_idx][:, None] + row, axis=0)  # [B,T,D]
     # window row 0 always self-pairs -> diff block := normalized zero
     return rows.at[:, 0, one_pass_raw:].set(
@@ -370,8 +384,10 @@ def gather_windows_sliced(
     slice-or-pad rule exactly.
     """
     rows_v = row_limit[video_idx] + 1
-    base = offsets[video_idx] + jnp.minimum(
-        starts, jnp.maximum(rows_v - clip_len, 0)
+    # clip both ends: negative starts must not slide into the previous
+    # video's rows (the shifted-back divergence documented above applies)
+    base = offsets[video_idx] + jnp.clip(
+        starts, 0, jnp.maximum(rows_v - clip_len, 0)
     )
     rows = jax.lax.gather(
         bank,
@@ -410,7 +426,7 @@ def bank_fingerprint(
         h.update(s.encode())
         h.update(b"\x00")
 
-    add("v1")
+    add("v2")  # v2: per-item class labels joined the hash
     add(",".join(mods))
     add(str(int(min_rows)))
     add(f"{paths.keypoint_dir}|{paths.clip_dir}|{paths.dino_dir}|{paths.layout}")
@@ -428,6 +444,8 @@ def bank_fingerprint(
             add(f"{p}|missing")
 
     for it in items:
+        add(f"{it.name}|{it.cls}")  # class relabels must invalidate (AC
+        # centroids ride bank.classes even when file contents are unchanged)
         add_file(it.path)
         vid_stem = os.path.splitext(os.path.basename(it.path))[0]
         for base, fname in (
@@ -518,7 +536,9 @@ def build_feature_bank_cached(
         try:
             if load_bank_fingerprint(cache_path) == fp:
                 bank = load_feature_bank(cache_path)
-                if bank.names == names:
+                if bank.names == names and bank.classes == [
+                    it.cls for it in items
+                ]:
                     return bank
         except Exception:
             pass  # unreadable/stale cache: rebuild below

@@ -57,7 +57,14 @@ def build_centroids(
         w = jnp.ones(embeddings.shape[0], embeddings.dtype)
     sums = jax.ops.segment_sum(embeddings, labels, num_classes)
     counts = jax.ops.segment_sum(w, labels, num_classes)
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    # a class with ZERO windows gets NaN (like the reference's mean over an
+    # empty set), not a zero centroid — a zero centroid would score every
+    # video of that class at a fabricated constant ac of exactly 1.0
+    centroids = jnp.where(
+        counts[:, None] > 0,
+        sums / jnp.maximum(counts, 1.0)[:, None],
+        jnp.nan,
+    )
     return l2_normalize(centroids, axis=-1), counts
 
 

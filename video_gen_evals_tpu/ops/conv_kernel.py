@@ -55,19 +55,11 @@ def split_bf16(w: jnp.ndarray) -> T.Tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
-def _dot3(a: jnp.ndarray, w_hi: jnp.ndarray, w_lo: jnp.ndarray) -> jnp.ndarray:
-    """bf16_3x matmul: the three-pass decomposition XLA uses for ``high``."""
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    # precision pinned to DEFAULT: bf16 inputs are already exact on the MXU,
-    # and an ambient default_matmul_precision("high") context would otherwise
-    # leak HIGH into the kernel, which Mosaic rejects
-    d = lambda u, v: jax.lax.dot_general(
-        u, v, dimension_numbers=dn, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    return d(a_hi, w_hi) + d(a_hi, w_lo) + d(a_lo, w_hi)
+# (the bf16_3x three-pass dot lives inline in each kernel body — see the
+# per-kernel `d = lambda ...` with precision pinned to DEFAULT: bf16 inputs
+# are already exact on the MXU, and an ambient
+# default_matmul_precision("high") context would otherwise leak HIGH into
+# the kernel, which Mosaic rejects)
 
 
 def _dot_f32(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -314,6 +306,15 @@ def fused_temporal_block(
     B, t_len, C = x.shape
     if B % block_windows != 0:
         raise ValueError(f"batch {B} not divisible by block {block_windows}")
+    if precision not in ("high", "highest"):
+        raise ValueError(
+            f"precision must be 'high' or 'highest', got {precision!r} "
+            "(silent fallback would change numerics — CLAUDE.md)"
+        )
+    if variant not in ("slice", "mm_first"):
+        raise ValueError(
+            f"variant must be 'slice' or 'mm_first', got {variant!r}"
+        )
     pad = dilation * (_K - 1) // 2
 
     act_spec = pl.BlockSpec(

@@ -73,7 +73,7 @@ def pallas_gather_windows(
     sub_blocks = clip_len // _ALIGN
 
     rows_v = row_limit[video_idx] + 1
-    start_c = jnp.minimum(starts, jnp.maximum(rows_v - clip_len, 0))
+    start_c = jnp.clip(starts, 0, jnp.maximum(rows_v - clip_len, 0))
     base_blocks = ((offsets[video_idx] + start_c) // _ALIGN).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -157,7 +157,7 @@ def pallas_gather_windows_burst(
         raise ValueError(f"batch {B} not divisible by {windows_per_step}")
 
     rows_v = row_limit[video_idx] + 1
-    start_c = jnp.minimum(starts, jnp.maximum(rows_v - clip_len, 0))
+    start_c = jnp.clip(starts, 0, jnp.maximum(rows_v - clip_len, 0))
     base = (offsets[video_idx] + start_c).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
