@@ -78,6 +78,23 @@ def _require_backend(
     t.start()
     t.join(timeout_s)
     if not ok:
+        # Once jax.devices() has been attempted, the half-initialized
+        # backend client is stuck in THIS process — retrying requires a
+        # fresh process. Re-exec (bounded) so a transient tunnel blip at
+        # the moment the driver runs bench doesn't forfeit the number.
+        retries = int(os.environ.get("BENCH_INIT_RETRIES_LEFT", "2"))
+        if retries > 0:
+            print(
+                f"bench: backend init timed out after {timeout_s}s "
+                f"(tunnel outage?) — {retries} re-exec retr"
+                f"{'y' if retries == 1 else 'ies'} left, sleeping 120s",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            time.sleep(120)
+            env = dict(os.environ)
+            env["BENCH_INIT_RETRIES_LEFT"] = str(retries - 1)
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
         print(
             f"bench: jax backend init did not complete within {timeout_s}s "
             "(TPU tunnel outage?) — aborting",

@@ -227,20 +227,23 @@ def main() -> None:
         ], axis=-1).astype(np.float32)
         boxes = jnp.asarray(boxes)
 
-        def pool(_, bxs):
+        def pool(pyr_in, bxs):
+            # pyramid rides the params slot: closing the jit over the
+            # ~74 MB pyramid would bake it into the HLO as constants and
+            # blow the tunnel's remote-compile request limit (CLAUDE.md)
             import jax as _j
             lv = assign_fpn_levels(bxs.reshape(-1, 4)).reshape(bxs.shape[:2])
+            buf, offs, hw = pack_pyramid(pyr_in)
 
             def one(args):
                 bb, ll = args
-                buf, offs, hw = pack_pyramid(pyr)
                 return roi_align_pyramid(
                     buf, offs, hw, cfg.strides[:4], bb, ll,
                     out_size=cfg.roi_resolution, window=cfg.roi_window,
                     chunk=cfg.roi_chunk,
                 )
 
-            return _j.lax.map(one, (boxes * 0 + bxs, lv))
+            return _j.lax.map(one, (bxs, lv))
 
         # traffic-bound: report GB/s instead of MFU via nominal matmul flops
         nom = (
@@ -248,7 +251,7 @@ def main() -> None:
                        + cfg.roi_resolution * cfg.roi_resolution
                        * cfg.roi_window * f)
         )
-        timed("roi_pool", pool, None, boxes, nom)
+        timed("roi_pool", pool, pyr, boxes, nom)
 
     # box head: 1000 pooled ROIs x (12544 -> 1024 -> 1024 -> 81/320)
     if only is None or "box_head" in only:

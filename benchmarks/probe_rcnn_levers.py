@@ -172,9 +172,12 @@ def main() -> None:
         ], axis=-1).astype(np.float32)
         boxes = jnp.asarray(boxes)
 
-        def pool(bxs, *, dtype, window, img_vmap, chunk):
+        def pool(bxs, *pyr_in, dtype, window, img_vmap, chunk):
+            # pyramid passed as jit arguments: closing over the ~74 MB
+            # pyramid would bake it into the HLO as constants and blow the
+            # tunnel's remote-compile request limit (CLAUDE.md)
             lv = assign_fpn_levels(bxs.reshape(-1, 4)).reshape(bxs.shape[:2])
-            pyr_c = [p.astype(dtype) for p in pyr]
+            pyr_c = [p.astype(dtype) for p in pyr_in]
             buf, offs, hw = pack_pyramid(pyr_c)
 
             def one(args):
@@ -202,7 +205,7 @@ def main() -> None:
             ("roi_bf16_w32_vmap_c256",
              dict(dtype=jnp.bfloat16, window=32, img_vmap=True, chunk=256)),
         ]:
-            timed(tag, functools.partial(pool, **kw), boxes)
+            timed(tag, functools.partial(pool, **kw), boxes, *pyr)
 
 
 if __name__ == "__main__":

@@ -391,7 +391,19 @@ def _load_state_dict(path: str, key_prefix: str = "") -> T.Dict[str, np.ndarray]
 
     sd = load_torch_state_dict(path)
     if key_prefix:
-        sd = sub_state_dict(sd, key_prefix)
+        try:
+            sd = sub_state_dict(sd, key_prefix)
+        except ValueError:
+            # the loader uniformly strips `module.`/`model.` wrapper
+            # prefixes, so a --key-prefix written against the raw checkpoint
+            # keys (e.g. `model.backbone.`) no longer matches — retry with
+            # the wrapper removed before failing
+            for w in ("module.", "model."):
+                if key_prefix.startswith(w):
+                    sd = sub_state_dict(sd, key_prefix[len(w):])
+                    break
+            else:
+                raise
     return sd
 
 

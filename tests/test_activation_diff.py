@@ -237,3 +237,27 @@ def test_rcnn_activation_diff():
     ok = _ok_rows(rows)
     # stem + res blocks + 8 FPN convs + 2 per-level RPN preds (last level)
     assert len(ok) == 1 + sum(cfg.stage_blocks) + 8 + 2
+
+
+def test_load_state_dict_prefix_survives_wrapper_strip(tmp_path):
+    """The canonical loader uniformly strips `model.`/`module.` wrapper
+    prefixes; a --key-prefix written against the RAW checkpoint keys
+    (e.g. `model.backbone.`) must still resolve instead of raising."""
+    from activation_diff import _load_state_dict
+
+    sd = {
+        "model.backbone.w": torch.ones(2, 2),
+        "model.head.w": torch.zeros(3),
+    }
+    p = str(tmp_path / "sd.pt")
+    torch.save(sd, p)
+
+    # raw-key prefix: retried with the stripped wrapper
+    out = _load_state_dict(p, key_prefix="model.backbone.")
+    assert sorted(out) == ["w"]
+    # post-strip prefix works directly
+    out2 = _load_state_dict(p, key_prefix="backbone.")
+    assert sorted(out2) == ["w"]
+    # a genuinely wrong prefix still fails loudly
+    with pytest.raises(ValueError, match="no keys under prefix"):
+        _load_state_dict(p, key_prefix="model.nonexistent.")

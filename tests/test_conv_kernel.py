@@ -132,3 +132,8 @@ def test_fused_block_rejects_unknown_strings():
     with pytest.raises(ValueError, match="variant"):
         fused_temporal_block(x, w, w, g, g, dilation=1, block_windows=4,
                              variant="mm-first")
+    with pytest.raises(ValueError, match="mm_first"):
+        # the f32 path has no mm-first kernel: the combination must raise,
+        # not silently run the slice kernel with variant ignored
+        fused_temporal_block(x, w, w, g, g, dilation=1, block_windows=4,
+                             precision="highest", variant="mm_first")

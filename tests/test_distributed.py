@@ -56,6 +56,31 @@ _WORKER = textwrap.dedent(
     mine = shard_items(list(range(7)), jax.process_index(), jax.process_count())
     expected = list(range(7))[pid::2]
     assert mine == expected, (mine, expected)
+
+    # put_global round trip on the non-addressable mesh, all three leaf
+    # kinds: host numpy, DEVICE-RESIDENT jax.Array (must not force a
+    # host round trip — the hot per-chunk extraction path), typed PRNG key
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from video_gen_evals_tpu.parallel.mesh import fetch_global, put_global
+
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    host_leaf = np.arange(8, dtype=np.float32).reshape(8, 1)
+    dev_leaf = jnp.asarray(host_leaf) * 2.0          # local device array
+    key_leaf = jax.random.key(42)
+    g = put_global({"h": host_leaf, "d": dev_leaf}, dp)
+    assert not g["d"].is_fully_addressable          # actually global
+    back = fetch_global(g)
+    np.testing.assert_array_equal(back["h"], host_leaf)
+    np.testing.assert_array_equal(back["d"], host_leaf * 2.0)
+    gk = put_global(key_leaf, rep)                  # typed key, replicated
+    np.testing.assert_array_equal(
+        fetch_global(gk), np.asarray(jax.random.key_data(key_leaf))
+    )
+    gr = put_global(dev_leaf, rep)                   # replicated placement
+    np.testing.assert_array_equal(fetch_global(gr), host_leaf * 2.0)
     print(f"WORKER{pid}_OK")
     """
 )

@@ -588,6 +588,17 @@ def test_grouped_conv_block_diag_matches_native(small_pair):
                 f"{key} p{i + 2}"
             )
 
+    # a width whose group count does not divide G must fail with a clear
+    # config error, not an opaque reshape crash deep in tracing
+    # (groups=6, cg=2, width=8 -> m=4, 6 % 4 != 0)
+    import pytest
+
+    from video_gen_evals_tpu.models.rcnn import _GroupedConvBlockDiag
+
+    bad = _GroupedConvBlockDiag(12, 3, 1, groups=6, width=8)
+    with pytest.raises(ValueError, match="grouped_conv_width"):
+        bad.init(jax.random.key(0), jnp.zeros((1, 8, 8, 12)))
+
 
 def test_fast_preset_runs_and_stays_close(small_pair):
     """The measured fast() ROI knobs (bf16 pyramid + clamped window) run

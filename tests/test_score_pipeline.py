@@ -438,3 +438,19 @@ def test_host_sharded_sweep_merges_to_single_host_scores(env, tmp_path):
         shard_items(items, 4, 4)
     with pytest.raises(ValueError):
         shard_items(items, 0, 0)
+
+    # NaN scores (e.g. NaN AC from a class with zero train windows) must be
+    # diagnosed as non-finite/constant scores, NOT as a name mismatch
+    nan_shard = {k: {"ac": float("nan"), "tc": float("nan")} for k in single}
+    nan_path = str(tmp_path / "nan.host0of1.json")
+    with open(nan_path, "w") as f:
+        json.dump(nan_shard, f)
+    proc = subprocess.run(
+        [sys.executable, "-m", "video_gen_evals_tpu.pipelines.merge_scores",
+         nan_path, "--output", str(tmp_path / "nan_merged.json"),
+         "--human-scores", human_path],
+        capture_output=True, text=True, cwd="/root/repo", env=sub_env,
+    )
+    assert proc.returncode != 0
+    assert "non-finite or constant scores" in proc.stderr
+    assert "name normalization" not in proc.stderr

@@ -109,4 +109,9 @@ def test_distributed_flag_validation():
         maybe_initialize_distributed(p.parse_args(["--process-id", "0"]))
     with pytest.raises(SystemExit, match="--process-id"):
         maybe_initialize_distributed(p.parse_args(["--num-processes", "2"]))
+    with pytest.raises(SystemExit, match="--coordinator"):
+        # missing coordinator must not fall into jax cluster auto-detection
+        maybe_initialize_distributed(
+            p.parse_args(["--num-processes", "2", "--process-id", "0"])
+        )
     maybe_initialize_distributed(p.parse_args([]))  # clean no-op

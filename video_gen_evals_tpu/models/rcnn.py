@@ -167,6 +167,13 @@ class _GroupedConvBlockDiag(nn.Module):
             (k, k, cg, self.features),
         )
         m = G if self.width <= 0 else max(min(self.width // cg, G), 1)
+        if G % m != 0:
+            raise ValueError(
+                f"grouped_conv_width {self.width} merges {m} of {G} groups "
+                f"per dense block, but {m} does not divide {G} — pick a "
+                f"width whose group count (width // {cg}) divides the "
+                "stage's group count"
+            )
         Gp = G // m
         w = kern.reshape(k, k, cg, Gp, m, cog)
         eye = jnp.eye(m, dtype=kern.dtype)[None, None, :, None, None, :, None]

@@ -194,7 +194,13 @@ def load_torch_checkpoint(
 ) -> FlaxParams:
     """Load a reference ``.pt`` checkpoint (permissive like ref ``eval.py:136-165``:
     accepts ``model_state_dict`` / ``state_dict`` wrappers or a bare dict).
-    ``strict=True`` (``--no-bug-compat``) raises on unconsumed keys."""
+    ``strict=True`` (``--no-bug-compat``) raises on unconsumed keys.
+
+    Deliberately NOT ``pipelines.weights.load_torch_state_dict``: that
+    loader is the permissive published-container reader (extra ``model``
+    wrapper key, uniform ``module.``/``model.`` prefix strip) — this one
+    reproduces the reference's OWN unwrap order and nothing more, so
+    encoder-checkpoint loading behaves bit-for-bit like ``eval.py``."""
     import torch  # local import: only needed when actually converting
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

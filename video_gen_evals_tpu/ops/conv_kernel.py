@@ -315,6 +315,12 @@ def fused_temporal_block(
         raise ValueError(
             f"variant must be 'slice' or 'mm_first', got {variant!r}"
         )
+    if precision == "highest" and variant == "mm_first":
+        raise ValueError(
+            "variant='mm_first' exists only for precision='high' (the f32 "
+            "path has no mm-first kernel; running 'slice' silently would be "
+            "the ignored-argument fallback this validation exists to stop)"
+        )
     pad = dilation * (_K - 1) // 2
 
     act_spec = pl.BlockSpec(

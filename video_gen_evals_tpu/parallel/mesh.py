@@ -115,6 +115,15 @@ def put_global(x, sharding: NamedSharding):
                 kd.shape, sharding, lambda idx: kd[idx]
             )
             return jax.random.wrap_key_data(g)
+        if isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
+            # keep device-resident leaves on device: slicing a jax.Array in
+            # the callback hands make_array_from_callback device buffers
+            # (device-to-device placement), where np.asarray would force a
+            # device->host->device round trip per leaf — on the hot
+            # per-chunk extraction path that round trip dominates
+            return jax.make_array_from_callback(
+                leaf.shape, sharding, lambda idx: leaf[idx]
+            )
         leaf = np.asarray(leaf)
         return jax.make_array_from_callback(
             leaf.shape, sharding, lambda idx: leaf[idx]
@@ -219,8 +228,14 @@ def initialize_distributed(
     """
     if num_processes is None or num_processes <= 1:
         return
+    # Select gloo whenever a CPU client may be created: explicit cpu
+    # platform, cpu listed as a fallback, or platform auto-detection (a
+    # CPU-only jaxlib with jax_platforms unset would otherwise keep the
+    # non-functional default collectives and hang at the first psum). The
+    # setting only affects the CPU backend — TPU ICI/DCN collectives are
+    # native and unaffected.
     platforms = jax.config.jax_platforms or ""
-    if platforms.split(",")[0] == "cpu":
+    if platforms == "" or "cpu" in platforms.split(","):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -132,24 +132,37 @@ class Extractor:
         elif cfg.mesh_detector != "yolox":
             raise ValueError(f"unknown mesh_detector {cfg.mesh_detector!r}")
 
-        if params is None:
+        # ``params`` may be PARTIAL (e.g. converted checkpoints for some
+        # nets): only the missing nets are random-initialized — initializing
+        # ViT-H just to immediately overwrite it wastes init compute and,
+        # under a mesh, a full replication of throwaway weights
+        params = dict(params) if params is not None else {}
+        needed = ["det", "vit", "head", "pose"] + (
+            ["rcnn"] if self.rcnn is not None else []
+        )
+        missing = [k for k in needed if k not in params]
+        if missing:
             rng = rng if rng is not None else jax.random.key(0)
             k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
             dh, dw = cfg.det.input_hw
             ch, cw = cfg.vit.img_size
             ph, pw = cfg.pose.input_hw
-            params = {
-                "det": self.detector.init(k1, jnp.zeros((1, dh, dw, 3)))["params"],
-                "vit": self.backbone.init(k2, jnp.zeros((1, ch, cw, 3)))["params"],
-                "head": self.head.init(
+            init_of = {
+                "det": lambda: self.detector.init(
+                    k1, jnp.zeros((1, dh, dw, 3)))["params"],
+                "vit": lambda: self.backbone.init(
+                    k2, jnp.zeros((1, ch, cw, 3)))["params"],
+                "head": lambda: self.head.init(
                     k3, jnp.zeros((1, cfg.vit.num_patches, cfg.vit.embed_dim))
                 )["params"],
-                "pose": self.pose_net.init(k4, jnp.zeros((1, ph, pw, 3)))["params"],
-            }
-            if self.rcnn is not None:
-                params["rcnn"] = self.rcnn.init(
+                "pose": lambda: self.pose_net.init(
+                    k4, jnp.zeros((1, ph, pw, 3)))["params"],
+                "rcnn": lambda: self.rcnn.init(
                     k5, jnp.zeros((1, 64, 64, 3)), method=self.rcnn.init_all
-                )["params"]
+                )["params"],
+            }
+            for k in missing:
+                params[k] = init_of[k]()
         if self.cfg.param_dtype == "bfloat16":
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)
@@ -215,21 +228,13 @@ class Extractor:
             config or ExtractorConfig(),
             tokenhmr=tokenhmr, dwpose=dwpose, yolox=yolox, rcnn=rcnn,
         )
-        ex = cls(cfg, rng=rng, mesh=mesh)
         converted = extraction_params_from_checkpoints(
             cfg, tokenhmr=tokenhmr, dwpose=dwpose, yolox=yolox, rcnn=rcnn
         )
-        if cfg.param_dtype == "bfloat16":
-            converted = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == np.float32
-                else a,
-                converted,
-            )
-        ex.params.update(converted)
-        if ex.mesh is not None:
-            ex._place_params()  # re-replicate the converted trees
-        return ex
+        # partial-params constructor: nets WITH a checkpoint skip random
+        # init entirely, and mesh placement happens exactly once (__init__
+        # casts to cfg.param_dtype before placing)
+        return cls(cfg, params=converted, rng=rng, mesh=mesh)
 
     # ------------------------------------------------------------------
     def _build_jits(self) -> None:

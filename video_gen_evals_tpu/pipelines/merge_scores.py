@@ -150,12 +150,24 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
         for key, scores in (("ac_corr", ac_only), ("tc_corr", tc_only)):
             corr = match_and_correlate(scores, human, key.split("_")[0])
             if corr["spearman"] is None:
-                print(
-                    f"{key}: NOT computed — only {corr['n']} merged video(s) "
-                    "matched the human-score keys (need >= 2); check name "
-                    "normalization between scores and MOS JSON",
-                    file=sys.stderr,
-                )
+                if corr["n"] >= 2:
+                    # enough matches but the correlation itself came back
+                    # NaN: constant or non-finite scores (e.g. NaN AC from a
+                    # class with zero train windows), not a name mismatch
+                    print(
+                        f"{key}: NOT computed — {corr['n']} videos matched "
+                        "but the correlation is NaN; check for non-finite "
+                        "or constant scores in the merged shards",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(
+                        f"{key}: NOT computed — only {corr['n']} merged "
+                        "video(s) matched the human-score keys (need >= 2); "
+                        "check name normalization between scores and MOS "
+                        "JSON",
+                        file=sys.stderr,
+                    )
                 failed = True
                 continue
             pear = corr["pearson"]

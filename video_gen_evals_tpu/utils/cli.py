@@ -49,6 +49,13 @@ def maybe_initialize_distributed(args: argparse.Namespace) -> None:
             "--num-processes > 1 requires --process-id (this process's "
             "index in [0, --num-processes))"
         )
+    if args.coordinator is None:
+        raise SystemExit(
+            "--num-processes > 1 requires --coordinator host:port (without "
+            "it jax falls back to cluster auto-detection, which dies with "
+            "an opaque error on bare hosts or may pick an env-derived "
+            "coordinator that conflicts with the explicit process counts)"
+        )
     import jax
 
     from ..parallel import initialize_distributed
