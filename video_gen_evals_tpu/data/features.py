@@ -49,6 +49,16 @@ _ORDER = ("vit", "global", "pose", "beta", "kp2d", "clip", "dino")
 
 _NORM_EPS = 1e-6  # eps added to std at normalization time (ref utils.py:473)
 
+# (modality, ModalityPaths attr, per-video file name) — the SINGLE source of
+# side-file naming for both the loader (load_video_arrays) and the cache
+# fingerprint (bank_fingerprint): they must stat the same files, or a stale
+# cached bank could fingerprint-match files the bank never read
+_SIDE_FILES = (
+    ("kp2d", "keypoint_dir", "keypoints.npy"),
+    ("clip", "clip_dir", "clip_embeddings.npz"),
+    ("dino", "dino_dir", "dino_embeddings.npz"),
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class ModalityPaths:
@@ -113,8 +123,9 @@ def load_video_arrays(
     }
     vid_stem = os.path.splitext(os.path.basename(item.path))[0]
 
+    kp_fname = next(f for m, _, f in _SIDE_FILES if m == "kp2d")
     if paths.keypoint_dir is not None:
-        kp_path = paths.resolve(paths.keypoint_dir, item.cls, vid_stem, "keypoints.npy")
+        kp_path = paths.resolve(paths.keypoint_dir, item.cls, vid_stem, kp_fname)
         if not os.path.exists(kp_path):
             if strict_kp:
                 raise FileNotFoundError(
@@ -130,10 +141,10 @@ def load_video_arrays(
                     f"Keypoint file '{kp_path}' is empty or malformed: {kp.shape}"
                 )
 
-    for m, base, fname in (
-        ("clip", paths.clip_dir, "clip_embeddings.npz"),
-        ("dino", paths.dino_dir, "dino_embeddings.npz"),
-    ):
+    for m, attr, fname in _SIDE_FILES:
+        if m == "kp2d":
+            continue  # handled above (strict semantics differ)
+        base = getattr(paths, attr)
         if base is None:
             continue
         p = paths.resolve(base, item.cls, vid_stem, fname)
@@ -448,11 +459,8 @@ def bank_fingerprint(
         # centroids ride bank.classes even when file contents are unchanged)
         add_file(it.path)
         vid_stem = os.path.splitext(os.path.basename(it.path))[0]
-        for base, fname in (
-            (paths.keypoint_dir, "keypoints.npy"),
-            (paths.clip_dir, "clip_embeddings.npz"),
-            (paths.dino_dir, "dino_embeddings.npz"),
-        ):
+        for _m, attr, fname in _SIDE_FILES:
+            base = getattr(paths, attr)
             if base is not None:
                 add_file(paths.resolve(base, it.cls, vid_stem, fname))
     return h.hexdigest()

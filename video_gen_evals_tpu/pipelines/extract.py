@@ -357,6 +357,7 @@ class Extractor:
         if self.rcnn is not None:
             from ..models.rcnn import (
                 PIXEL_MEAN_BGR,
+                clip_boxes,
                 pad_to_divisible,
                 resize_shortest_edge,
             )
@@ -391,15 +392,7 @@ class Extractor:
                 sx = W / rw
                 sy = H / rh
                 boxes = det["boxes"] * jnp.asarray([sx, sy, sx, sy], jnp.float32)
-                boxes = jnp.stack(
-                    [
-                        jnp.clip(boxes[..., 0], 0, W),
-                        jnp.clip(boxes[..., 1], 0, H),
-                        jnp.clip(boxes[..., 2], 0, W),
-                        jnp.clip(boxes[..., 3], 0, H),
-                    ],
-                    axis=-1,
-                )
+                boxes = clip_boxes(boxes, (H, W))
                 # ref mesh_generator.py:103-111: person class, score > 0.5,
                 # exactly one such box
                 person = (

@@ -100,21 +100,28 @@ class WindowEncoder:
                 "the Pallas kernels are single-chip; use encoder_impl='auto' "
                 "(sharded sweeps take the module forward) or drop the mesh"
             )
+        explicit_kernel = encoder_impl in ("block_kernel", "chain_kernel")
+        if explicit_kernel and matmul_precision != "high":
+            raise ValueError(
+                f"encoder_impl='{encoder_impl}' runs the fused kernels at "
+                f"precision 'high' (bf16_3x); matmul_precision="
+                f"{matmul_precision!r} would silently change numerics — use "
+                "encoder_impl='auto' (module forward honors the precision) "
+                "or precision 'high'"
+            )
+        # auto: kernel only where it measured faster (single-chip TPU, high
+        # precision, full 32-window blocks). An EXPLICIT kernel request is
+        # always honored (32/8/4-window blocks; interpret mode off-TPU) —
+        # silently falling back to the module forward would misattribute
+        # benchmarks and serve-path numerics.
         self._use_block_kernel = (
-            encoder_impl in ("auto", "block_kernel", "chain_kernel")
+            encoder_impl == "auto"
             and mesh is None
             and jax.default_backend() == "tpu"
             and matmul_precision == "high"
             and batch_size % 32 == 0
-        ) or (
-            encoder_impl in ("block_kernel", "chain_kernel")
-            and jax.default_backend() != "tpu"
-        )
-        if (
-            encoder_impl in ("block_kernel", "chain_kernel")
-            and self._use_block_kernel
-            and batch_size % 4 != 0
-        ):
+        ) or explicit_kernel
+        if explicit_kernel and batch_size % 4 != 0:
             raise ValueError(
                 f"encoder_impl='{encoder_impl}' needs batch_size divisible by "
                 f"4 (got {batch_size}) — the fused kernel blocks windows in "
