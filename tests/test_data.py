@@ -395,12 +395,12 @@ def test_gather_negative_start_stays_in_video():
             jnp.asarray(vi), jnp.asarray(st), T_,
         )
     )[0]
-    # starts -3..4 clamp to 0..4: rows 0,0,0,0,1,..,4 of video 1
+    # slice_or_pad rule: a negative start yields frame 0 of the video's OWN
+    # bank for the whole window (row 0's diff block is the z0 override)
     v1 = bank[rows : 2 * rows]
     np.testing.assert_array_equal(out[0, :one_pass_raw], v1[0, :one_pass_raw])
     np.testing.assert_array_equal(out[0, one_pass_raw:], args_np[2])
-    np.testing.assert_array_equal(out[1:4], np.repeat(v1[:1], 3, axis=0))
-    np.testing.assert_array_equal(out[4:], v1[1:5])
+    np.testing.assert_array_equal(out[1:], np.repeat(v1[:1], T_ - 1, axis=0))
 
     sliced = np.asarray(
         gather_windows_sliced(

@@ -454,3 +454,43 @@ def test_host_sharded_sweep_merges_to_single_host_scores(env, tmp_path):
     assert proc.returncode != 0
     assert "non-finite or constant scores" in proc.stderr
     assert "name normalization" not in proc.stderr
+
+
+def test_encode_bank_accepts_device_bank(rng):
+    """encode_bank(bank_dev=...) (the training harness's resident-bank fast
+    path) returns exactly the same embeddings as the host-upload path."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_gen_evals_tpu.data.features import FeatureBank
+    from video_gen_evals_tpu.models import EncoderConfig
+    from video_gen_evals_tpu.models.fusion_encoder import init_encoder
+    from video_gen_evals_tpu.pipelines.score import WindowEncoder
+
+    dims_raw = {"vit": 16, "pose": 18}
+    dims_diff = {"vit": 16, "pose": 6}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1,
+                               time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(3), clip_len=8)
+    D = cfg.input_dim
+    V, rows = 3, 16
+    bank = FeatureBank(
+        bank=rng.normal(size=(V * rows, D)).astype(np.float32),
+        offsets=(np.arange(V) * rows).astype(np.int32),
+        row_limit=np.full(V, rows - 1, np.int32),
+        z0_diff=np.zeros(D - cfg.one_pass_raw, np.float32),
+        one_pass_raw=cfg.one_pass_raw,
+        classes=["a"] * V,
+        names=[f"v{i}" for i in range(V)],
+    )
+    windows = [(v, s) for v in range(V) for s in (0, 8)]
+    enc = WindowEncoder(model, params, batch_size=4, clip_len=8)
+    seq1, tc1, wv1 = enc.encode_bank(bank, windows)
+    bank_dev = (
+        jnp.asarray(bank.bank), jnp.asarray(bank.offsets),
+        jnp.asarray(bank.row_limit), jnp.asarray(bank.z0_diff),
+    )
+    seq2, tc2, wv2 = enc.encode_bank(bank, windows, bank_dev=bank_dev)
+    np.testing.assert_array_equal(seq1, seq2)
+    np.testing.assert_array_equal(tc1, tc2)
+    np.testing.assert_array_equal(wv1, wv2)

@@ -323,3 +323,109 @@ def test_optimizer_matches_torch_adamw_cosine():
         np.testing.assert_allclose(
             np.asarray(ours), ref.detach().numpy(), rtol=1e-5, atol=1e-7
         )
+
+
+def test_monitor_failure_does_not_kill_run(tiny_env, tmp_path):
+    """The human-corr monitor is pure monitoring: any exception it raises
+    (bad generated tree, missing side files) must be logged and swallowed
+    so the epoch's resume checkpoint is still written."""
+    from video_gen_evals_tpu.train.experiment import Experiment
+
+    root, mesh_root, kp_root = tiny_env
+    cfg = _tiny_cfg(root, mesh_root, kp_root, "monfail")
+    exp = Experiment(cfg, eval_batch=16)
+
+    def boom(epoch, centroids):
+        raise FileNotFoundError("gen video lost its keypoints.npy")
+
+    exp.evaluate_human_corr = boom
+    exp.run()
+    events = _read_events(exp)
+    fails = [e for e in events if e["event"] == "human_corr_failed"]
+    assert len(fails) == 1 and "keypoints.npy" in fails[0]["error"]
+    # the resume checkpoint still landed after the failed monitor
+    assert any(e["event"] == "train_epoch" for e in events)
+    import glob
+
+    assert glob.glob(os.path.join(exp.save_dir, "resume*")) or any(
+        os.path.isdir(os.path.join(exp.save_dir, d))
+        for d in os.listdir(exp.save_dir)
+    )
+
+
+def test_nan_batch_does_not_poison_epoch_loss(tiny_env, monkeypatch):
+    """One non-finite step total must be excluded from the logged epoch loss
+    (ref train.py skips the batch before accumulating) and counted in the
+    new 'skipped' field."""
+    from video_gen_evals_tpu.train.experiment import Experiment
+
+    root, mesh_root, kp_root = tiny_env
+    cfg = _tiny_cfg(root, mesh_root, kp_root, "nanskip")
+    exp = Experiment(cfg, eval_batch=16)
+
+    real_step = exp.train_step
+    calls = {"n": 0}
+
+    def poisoned(state, feats, labels, rng):
+        state, metrics = real_step(state, feats, labels, rng)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            metrics = dict(metrics)
+            metrics["total"] = jnp.float32(float("nan"))
+        return state, metrics
+
+    exp.train_step = poisoned
+    avg = exp.train_one_epoch(0)
+    assert np.isfinite(avg)
+    events = _read_events(exp)
+    e = [x for x in events if x["event"] == "train_epoch"][-1]
+    assert e["skipped"] == 1
+    assert np.isfinite(e["loss"])
+
+
+def test_train_test_split_all_singletons_is_clear_error(tmp_path):
+    from video_gen_evals_tpu.data import scan_class_tree, train_test_split
+    from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+
+    mesh_root, _ = make_fixture_tree(
+        str(tmp_path), ["JumpingJack", "PushUps"], videos_per_class=1,
+        frames=(40,),
+    )
+    manifest = scan_class_tree(mesh_root)
+    with pytest.raises(ValueError, match="empty test side"):
+        train_test_split(manifest, 0.8, 0)
+
+
+def test_stats_cache_roundtrip_and_invalidation(tiny_env, tmp_path):
+    from video_gen_evals_tpu.data import (
+        ModalityPaths,
+        compute_stats,
+        compute_stats_cached,
+        scan_class_tree,
+    )
+
+    _root, mesh_root, kp_root = tiny_env
+    manifest = scan_class_tree(mesh_root)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    cache = str(tmp_path / "stats.npz")
+
+    s0 = compute_stats(manifest.items, paths)
+    s1 = compute_stats_cached(manifest.items, paths, cache_path=cache)
+    assert os.path.exists(cache)
+    s2 = compute_stats_cached(manifest.items, paths, cache_path=cache)
+    assert s1.modalities == s0.modalities == s2.modalities
+    for m in s0.modalities:
+        np.testing.assert_array_equal(s2.mean_raw[m], s0.mean_raw[m])
+        np.testing.assert_array_equal(s2.std_diff[m], s0.std_diff[m])
+
+    # touching a source file invalidates (rebuild, still equal values)
+    it0 = manifest.items[0]
+    st = os.stat(it0.path)
+    os.utime(it0.path, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000))
+    from video_gen_evals_tpu.data.stats import load_stats_fingerprint
+
+    fp_cached = load_stats_fingerprint(cache)
+    s3 = compute_stats_cached(manifest.items, paths, cache_path=cache)
+    assert load_stats_fingerprint(cache) != fp_cached
+    for m in s0.modalities:
+        np.testing.assert_array_equal(s3.mean_raw[m], s0.mean_raw[m])

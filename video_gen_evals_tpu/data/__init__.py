@@ -8,7 +8,7 @@ from .manifest import (
     scan_generated_flat,
     train_test_split,
 )
-from .stats import ModalityStats, compute_stats
+from .stats import ModalityStats, compute_stats, compute_stats_cached
 from .windows import enumerate_windows, slice_or_pad
 from .features import (
     ModalityPaths,
@@ -32,6 +32,7 @@ __all__ = [
     "train_test_split",
     "ModalityStats",
     "compute_stats",
+    "compute_stats_cached",
     "enumerate_windows",
     "slice_or_pad",
     "ModalityPaths",

@@ -364,9 +364,12 @@ def gather_windows(
     ANY start. Jit-friendly: static ``clip_len``/``one_pass_raw``.
     """
     i = jnp.arange(clip_len, dtype=starts.dtype)[None, :]
-    # clamp BOTH ends: a negative start repeats the video's frame 0 (the
-    # reference slice rule) instead of indexing into the previous video
+    # out-of-range starts follow slice_or_pad exactly (windows.py): a
+    # negative start yields the video's frame 0 for the WHOLE window (never
+    # the previous video's rows); starts past the end clamp into the
+    # sentinel region
     row = jnp.clip(starts[:, None] + i, 0, row_limit[video_idx][:, None])
+    row = jnp.where(starts[:, None] < 0, 0, row)
     rows = jnp.take(bank, offsets[video_idx][:, None] + row, axis=0)  # [B,T,D]
     # window row 0 always self-pairs -> diff block := normalized zero
     return rows.at[:, 0, one_pass_raw:].set(
@@ -454,15 +457,47 @@ def bank_fingerprint(
         except OSError:
             add(f"{p}|missing")
 
+    _add_source_files(add, add_file, items, paths)
+    return h.hexdigest()
+
+
+def _add_source_files(add, add_file, items, paths: ModalityPaths) -> None:
+    """Feed every source-file identity a bank/stats computation reads into a
+    fingerprint: per-item name+class (class relabels must invalidate — AC
+    centroids ride ``bank.classes`` even when file contents are unchanged),
+    the mesh npz, and each configured side file from ``_SIDE_FILES``."""
     for it in items:
-        add(f"{it.name}|{it.cls}")  # class relabels must invalidate (AC
-        # centroids ride bank.classes even when file contents are unchanged)
+        add(f"{it.name}|{it.cls}")
         add_file(it.path)
         vid_stem = os.path.splitext(os.path.basename(it.path))[0]
         for _m, attr, fname in _SIDE_FILES:
             base = getattr(paths, attr)
             if base is not None:
                 add_file(paths.resolve(base, it.cls, vid_stem, fname))
+
+
+def source_fingerprint(items, paths: ModalityPaths, tag: str) -> str:
+    """Hash of the source files + path configuration alone (no stats) —
+    used to key caches of quantities DERIVED from the files, e.g. the
+    streaming stats pass (``data/stats.py::compute_stats_cached``)."""
+    import hashlib
+
+    h = hashlib.sha256()
+
+    def add(sv: str) -> None:
+        h.update(sv.encode())
+        h.update(b"\x00")
+
+    def add_file(fp: str) -> None:
+        try:
+            st = os.stat(fp)
+            add(f"{fp}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            add(f"{fp}|missing")
+
+    add(tag)
+    add(f"{paths.keypoint_dir}|{paths.clip_dir}|{paths.dino_dir}|{paths.layout}")
+    _add_source_files(add, add_file, items, paths)
     return h.hexdigest()
 
 
@@ -475,8 +510,14 @@ def save_feature_bank(
     extra = {}
     if fingerprint is not None:
         extra["fingerprint"] = np.array(fingerprint)
+    # atomic publish: write to a per-process temp name, then rename. A crash
+    # mid-write (or several hosts of a multi-process run racing on a shared
+    # cache dir) must never leave a torn npz at the published path — each
+    # writer publishes a COMPLETE file and the last rename wins (identical
+    # contents, same fingerprint).
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
     np.savez_compressed(
-        path,
+        tmp,
         bank=bank.bank,
         offsets=bank.offsets,
         row_limit=bank.row_limit,
@@ -486,6 +527,7 @@ def save_feature_bank(
         names=np.array(bank.names),
         **extra,
     )
+    os.replace(tmp, path)
 
 
 def load_feature_bank(path: str) -> FeatureBank:

@@ -180,4 +180,14 @@ def train_test_split(
         n_train = max(1, min(n - 1, int(round(n * train_ratio))))
         train_items.extend(vids_copy[:n_train])
         test_items.extend(vids_copy[n_train:])
+    if not test_items:
+        # single-video classes contribute nothing to the test side (the
+        # reference's own rule); all-singleton datasets would otherwise
+        # crash much later inside bank construction with an opaque
+        # concatenate error
+        raise ValueError(
+            "train_test_split produced an empty test side: every class has "
+            "a single video (each goes to train). Provide >= 2 videos for "
+            "at least one class."
+        )
     return VideoManifest(train_items), VideoManifest(test_items)

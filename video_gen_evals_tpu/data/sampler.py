@@ -92,6 +92,12 @@ class PKBatchSampler:
             batch_arr = np.array(batch)
             self.rng.shuffle(batch_arr)
             if self.drop_last and len(batch_arr) != self.P * self.K:
-                continue
+                # unreachable today (top-up-with-replacement always fills
+                # each class to exactly K); raise rather than `continue`,
+                # which would re-draw forever without advancing `emitted`
+                raise RuntimeError(
+                    f"PKBatchSampler produced a short batch "
+                    f"({len(batch_arr)} != {self.P * self.K})"
+                )
             yield batch_arr
             emitted += 1

@@ -14,6 +14,7 @@ The stats object is a plain pytree of numpy arrays, serializable to ``.npz``.
 from __future__ import annotations
 
 import dataclasses
+import os
 import typing as T
 
 import numpy as np
@@ -43,20 +44,27 @@ class ModalityStats:
     def dims_map_diff(self) -> T.Dict[str, int]:
         return {m: int(self.mean_diff[m].shape[0]) for m in self.modalities}
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, fingerprint: T.Optional[str] = None) -> None:
         arrs = {}
         for m in self.modalities:
             arrs[f"mean_raw_{m}"] = self.mean_raw[m]
             arrs[f"std_raw_{m}"] = self.std_raw[m]
             arrs[f"mean_diff_{m}"] = self.mean_diff[m]
             arrs[f"std_diff_{m}"] = self.std_diff[m]
-        np.savez(path, **arrs)
+        if fingerprint is not None:
+            arrs["fingerprint"] = np.array(fingerprint)
+        # atomic publish (crash/concurrent-writer safe, like the bank cache)
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, **arrs)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "ModalityStats":
         npz = np.load(path)
         out = cls({}, {}, {}, {})
         for key in npz.files:
+            if key == "fingerprint":
+                continue
             kind, m = key.rsplit("_", 1)
             getattr(out, kind)[m] = npz[key]
         return out
@@ -116,4 +124,44 @@ def compute_stats(
         if accs_raw[m].n > 0:
             stats.mean_raw[m], stats.std_raw[m] = accs_raw[m].finalize(eps)
             stats.mean_diff[m], stats.std_diff[m] = accs_diff[m].finalize(eps)
+    return stats
+
+
+def load_stats_fingerprint(path: str) -> T.Optional[str]:
+    try:
+        with np.load(path, allow_pickle=False) as f:
+            if "fingerprint" in f.files:
+                return str(f["fingerprint"])
+    except Exception:
+        pass
+    return None
+
+
+def compute_stats_cached(
+    items: T.Sequence,
+    paths: ModalityPaths,
+    eps: float = 1e-6,
+    cache_path: T.Optional[str] = None,
+) -> ModalityStats:
+    """``compute_stats`` with an on-disk cache.
+
+    The streaming stats pass decompresses every train npz + side file; on a
+    warm start that is the dominant host cost left once the bank cache hits
+    (the bank cache itself needs ``stats`` before it can validate, so stats
+    must be cached separately). Keyed by ``source_fingerprint`` — any
+    touched/added/removed source file or path-config change rebuilds.
+    """
+    if cache_path is None:
+        return compute_stats(items, paths, eps=eps)
+    from .features import source_fingerprint
+
+    fp = source_fingerprint(items, paths, tag=f"stats-v1|eps={eps!r}")
+    if os.path.exists(cache_path) and load_stats_fingerprint(cache_path) == fp:
+        try:
+            return ModalityStats.load(cache_path)
+        except Exception:
+            pass  # unreadable cache: rebuild below
+    stats = compute_stats(items, paths, eps=eps)
+    os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+    stats.save(cache_path, fingerprint=fp)
     return stats

@@ -107,6 +107,8 @@ def put_global(x, sharding: NamedSharding):
         return jax.device_put(x, sharding)
 
     def one(leaf):
+        if isinstance(leaf, jax.Array) and leaf.sharding == sharding:
+            return leaf  # already placed exactly as requested
         if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
             leaf.dtype, jax.dtypes.prng_key
         ):

@@ -35,6 +35,7 @@ from ..data import (
     build_feature_bank,
     build_feature_bank_cached,
     compute_stats,
+    compute_stats_cached,
     enumerate_windows,
     gather_windows,
     gather_windows_sliced,
@@ -233,24 +234,35 @@ class WindowEncoder:
             )
 
     def encode_bank(
-        self, bank: FeatureBank, windows: T.Sequence[T.Tuple[int, int]]
+        self,
+        bank: FeatureBank,
+        windows: T.Sequence[T.Tuple[int, int]],
+        bank_dev: T.Optional[T.Tuple] = None,
     ) -> T.Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Returns (seq_embeds [N, D], window_tc [N], window_video [N])."""
+        """Returns (seq_embeds [N, D], window_tc [N], window_video [N]).
+
+        ``bank_dev``: optional pre-uploaded ``(bank, offsets, row_limit,
+        z0_diff)`` device arrays (already mesh-placed when sharded) — a
+        caller that keeps the bank resident (the training harness's eval
+        passes) skips re-transferring it per call."""
         n = len(windows)
         video_idx = np.array([w[0] for w in windows], np.int32)
         starts = np.array([w[1] for w in windows], np.int32)
 
-        bank_d = jnp.asarray(bank.bank)
-        offsets_d = jnp.asarray(bank.offsets)
-        row_limit_d = jnp.asarray(bank.row_limit)
-        z0_d = jnp.asarray(bank.z0_diff)
-        if self.mesh is not None:
-            from ..parallel import put_global
+        if bank_dev is not None:
+            bank_d, offsets_d, row_limit_d, z0_d = bank_dev
+        else:
+            bank_d = jnp.asarray(bank.bank)
+            offsets_d = jnp.asarray(bank.offsets)
+            row_limit_d = jnp.asarray(bank.row_limit)
+            z0_d = jnp.asarray(bank.z0_diff)
+            if self.mesh is not None:
+                from ..parallel import put_global
 
-            bank_d, offsets_d, row_limit_d, z0_d = (
-                put_global(a, self._rep_shard)
-                for a in (bank_d, offsets_d, row_limit_d, z0_d)
-            )
+                bank_d, offsets_d, row_limit_d, z0_d = (
+                    put_global(a, self._rep_shard)
+                    for a in (bank_d, offsets_d, row_limit_d, z0_d)
+                )
 
         use_burst = (
             self._try_burst
@@ -450,7 +462,13 @@ def score_generated(
     real_manifest = scan_class_tree(real_meshes_dir, filter_classes=list(ACTION_CLASSES))
     if stats is None:
         train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
-        stats = compute_stats(train_ds.items, real_paths)
+        stats = compute_stats_cached(
+            train_ds.items, real_paths,
+            cache_path=(
+                os.path.join(bank_cache_dir, "stats.npz")
+                if bank_cache_dir else None
+            ),
+        )
 
     encoder = WindowEncoder(
         model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision,
@@ -589,7 +607,13 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
     real_manifest = scan_class_tree(args.real_meshes, filter_classes=list(ACTION_CLASSES))
     train_ds, _ = train_test_split(real_manifest, 0.8, seed=cfg.seed)
-    stats = compute_stats(train_ds.items, real_paths)
+    stats = compute_stats_cached(
+        train_ds.items, real_paths,
+        cache_path=(
+            os.path.join(args.bank_cache, "stats.npz")
+            if args.bank_cache else None
+        ),
+    )
 
     enc_cfg = EncoderConfig.create(stats.dims_map_raw(), stats.dims_map_diff())
     model = HumanActionScorer(enc_cfg)

@@ -29,9 +29,8 @@ from ..core.config import TrainConfig
 from ..data import (
     ModalityPaths,
     PKBatchSampler,
-    build_feature_bank,
     build_feature_bank_cached,
-    compute_stats,
+    compute_stats_cached,
     enumerate_windows,
     gather_windows,
     scan_class_tree,
@@ -86,7 +85,13 @@ class Experiment:
             dino_dir=cfg.paths.real_dino_dir,
             layout="real",
         )
-        self.stats = compute_stats(self.train_ds.items, self.real_paths)
+        self.stats = compute_stats_cached(
+            self.train_ds.items, self.real_paths,
+            cache_path=(
+                os.path.join(cfg.bank_cache_dir, "stats.npz")
+                if cfg.bank_cache_dir else None
+            ),
+        )
         self.label_dict = self.full_ds.label_dict()
         with open(os.path.join(self.save_dir, "label_mapping.json"), "w") as f:
             json.dump(self.label_dict, f, indent=2)
@@ -173,6 +178,7 @@ class Experiment:
         )
         self._train_bank_dev = self._bank_device(self.train_bank)
         self._test_bank_dev = self._bank_device(self.test_bank)
+        self._encoder: T.Optional[WindowEncoder] = None
         self.best_eval_loss = float("inf")
         self.best_ckpt: T.Optional[str] = None
 
@@ -231,6 +237,7 @@ class Experiment:
     def train_one_epoch(self, epoch: int) -> float:
         total = 0.0
         n_batches = 0
+        n_skipped = 0
         t0 = time.time()
         for batch_idx in self._sampler_for_epoch(epoch):
             feats = self._gather_batch(
@@ -240,10 +247,18 @@ class Experiment:
             self.state, metrics = self.train_step(
                 self.state, feats, labels, self.rng
             )
-            total += float(metrics["total"])
+            t = float(metrics["total"])
+            # the step's lax.cond already skipped the update for a
+            # non-finite loss (ref train.py:499-500 `continue`s before
+            # accumulating) — mirror that in the logged epoch loss instead
+            # of letting one NaN batch poison the whole epoch's number
+            if np.isfinite(t):
+                total += t
+            else:
+                n_skipped += 1
             n_batches += 1
         dt = time.time() - t0
-        avg = total / max(1, n_batches)
+        avg = total / max(1, n_batches - n_skipped)
         clips_per_sec = n_batches * self.cfg.batch_size * 4 / max(dt, 1e-9)
         self._log(
             {
@@ -251,6 +266,7 @@ class Experiment:
                 "epoch": epoch,
                 "loss": avg,
                 "batches": n_batches,
+                "skipped": n_skipped,
                 "seconds": dt,
                 "clips_per_sec": clips_per_sec,
             }
@@ -259,17 +275,34 @@ class Experiment:
 
     # ------------------------------------------------------------------
     def _window_encoder(self) -> WindowEncoder:
-        return WindowEncoder(
-            self.model,
-            self.state.params,
-            self.eval_batch,
-            self.cfg.clip_len,
-            mesh=self.mesh,
-        )
+        """One encoder for the whole run: rebuilding per eval call would
+        re-trace the jitted encode program every epoch (tunnel compiles are
+        45-600 s cold); the jit takes params as an argument, so swapping in
+        the current epoch's params keeps the compiled program."""
+        if self._encoder is None:
+            self._encoder = WindowEncoder(
+                self.model,
+                self.state.params,
+                self.eval_batch,
+                self.cfg.clip_len,
+                mesh=self.mesh,
+            )
+        else:
+            if self.mesh is not None:
+                from ..parallel import put_global
+
+                self._encoder.params = put_global(
+                    self.state.params, self._encoder._rep_shard
+                )
+            else:
+                self._encoder.params = self.state.params
+        return self._encoder
 
     def evaluate_centroids(self) -> np.ndarray:
         enc = self._window_encoder()
-        seqs, _tc, win_video = enc.encode_bank(self.train_bank, self.train_windows)
+        seqs, _tc, win_video = enc.encode_bank(
+            self.train_bank, self.train_windows, bank_dev=self._train_bank_dev
+        )
         labels = np.array(
             [self.label_dict[self.train_bank.classes[v]] for v in win_video], np.int32
         )
@@ -323,7 +356,9 @@ class Experiment:
         self, epoch: int, centroids: np.ndarray
     ) -> T.Tuple[float, T.Dict[str, float]]:
         enc = self._window_encoder()
-        seqs, _tc, win_video = enc.encode_bank(self.test_bank, self.test_windows)
+        seqs, _tc, win_video = enc.encode_bank(
+            self.test_bank, self.test_windows, bank_dev=self._test_bank_dev
+        )
         labels = np.array(
             [self.label_dict[self.test_bank.classes[v]] for v in win_video], np.int32
         )
@@ -369,9 +404,13 @@ class Experiment:
             dino_dir=cfg.paths.gen_dino_dir,
             layout="generated",
         )
-        bank = build_feature_bank(
+        bank = build_feature_bank_cached(
             gen_manifest.items, gen_paths, self.stats, self.stats.modalities,
             min_rows=cfg.clip_len + 8,
+            cache_path=(
+                os.path.join(cfg.bank_cache_dir, "gen_bank.npz")
+                if cfg.bank_cache_dir else None
+            ),
         )
         windows = enumerate_windows(gen_manifest, cfg.clip_len, cfg.stride)
         enc = self._window_encoder()
@@ -497,5 +536,16 @@ class Experiment:
                 self.best_ckpt = ckpt
                 self._log({"event": "checkpoint", "epoch": epoch, "loss": eval_loss})
             self.evaluate_centroid_distance(epoch, centroids)
-            self.evaluate_human_corr(epoch, centroids)
+            try:
+                self.evaluate_human_corr(epoch, centroids)
+            except Exception as e:  # noqa: BLE001
+                # purely a monitor (the reference's own monitor skips
+                # unloadable gen videos, ref utils.py:1083-1086) — a bad
+                # generated tree must not abort training before the
+                # epoch's resume checkpoint is written
+                self._log({
+                    "event": "human_corr_failed",
+                    "epoch": epoch,
+                    "error": f"{type(e).__name__}: {e}",
+                })
             self.save_resume_checkpoint(epoch)
