@@ -70,6 +70,86 @@ def test_resume_reproduces_uninterrupted_run(data):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
 
 
+def test_sigkill_mid_run_resume_matches_uninterrupted(data):
+    """TRUE fault injection (SURVEY §5.3): run the real train CLI in a
+    subprocess, SIGKILL it the moment the epoch-0 resume checkpoint lands
+    (no atexit, no flushes — a hard crash mid-epoch-1), then resume from the
+    checkpoint in a fresh process. The resumed run's epoch-1 training loss
+    must match the uninterrupted run's bitwise-deterministically."""
+    import glob
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root, mesh_root, kp_root = data
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel
+
+    cfg_path = os.path.join(root, "kill_cfg.json")
+    _cfg(root, mesh_root, kp_root, "unused").to_json(cfg_path)
+
+    def run_cli(save_dir, extra=(), wait=True):
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "video_gen_evals_tpu.pipelines.train_cli",
+             "--config", cfg_path, "--save-dir", save_dir, *extra],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        if not wait:
+            return proc
+        out, _ = proc.communicate(timeout=900)
+        assert proc.returncode == 0, out
+        return proc
+
+    def epoch_losses(save_dir):
+        (metrics,) = glob.glob(os.path.join(save_dir, "*", "metrics.jsonl"))
+        losses = {}
+        with open(metrics) as f:
+            for line in f:
+                e = json.loads(line)
+                if e.get("event") == "train_epoch":
+                    losses[e["epoch"]] = e["loss"]
+        return losses
+
+    # A: uninterrupted 2-epoch run
+    save_a = os.path.join(root, "KILL_a")
+    run_cli(save_a)
+    losses_a = epoch_losses(save_a)
+    assert set(losses_a) == {0, 1}
+
+    # B: same run, SIGKILLed right after the epoch-0 resume checkpoint lands
+    save_b = os.path.join(root, "KILL_b")
+    proc = run_cli(save_b, wait=False)
+    ckpt = None
+    deadline = time.time() + 600
+    try:
+        while time.time() < deadline:
+            hits = glob.glob(os.path.join(save_b, "*", "resume_epoch000"))
+            if hits:
+                ckpt = hits[0]
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"train CLI exited before checkpointing: "
+                    f"{proc.stdout.read()}"
+                )
+            time.sleep(0.2)
+        assert ckpt is not None, "epoch-0 resume checkpoint never appeared"
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+
+    # C: fresh process resumes from the killed run's checkpoint
+    save_c = os.path.join(root, "KILL_c")
+    run_cli(save_c, extra=["--resume", ckpt])
+    losses_c = epoch_losses(save_c)
+    assert set(losses_c) == {1}, f"resume should run epoch 1 only: {losses_c}"
+    np.testing.assert_allclose(losses_c[1], losses_a[1], rtol=1e-6)
+
+
 def test_npz_params_restore_without_template(tmp_path):
     """Multi-process runs save params as a flat path-keyed npz (process-0
     write); restore_params must rebuild the nested dict WITHOUT a `like`

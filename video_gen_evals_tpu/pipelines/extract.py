@@ -838,10 +838,10 @@ class Extractor:
                         )
                         kp_dir = os.path.join(kp_out_root, action, stem)
                         os.makedirs(kp_dir, exist_ok=True)
-                        np.save(
-                            os.path.join(kp_dir, "keypoints.npy"),
-                            rows.astype(np.float32),
-                        )
+                        kp_path = os.path.join(kp_dir, "keypoints.npy")
+                        tmp = f"{kp_path}.{os.getpid()}.tmp.npy"
+                        np.save(tmp, rows.astype(np.float32))
+                        os.replace(tmp, kp_path)  # atomic publish
                     ledger.record(video, "single")
                     counts["single"] += 1
                 else:

@@ -78,7 +78,12 @@ def _save_multiprocess(path: str, tree) -> None:
     if jax.process_index() == 0:
         out = _npz_path(_abs(path))
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-        np.savez(out, **_flatten_with_paths(host))
+        # atomic publish: a crash mid-write must never leave a torn npz at
+        # the published path (orbax's single-process save already finalizes
+        # via rename; match that here)
+        tmp = f"{out}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, **_flatten_with_paths(host))
+        os.replace(tmp, out)
     _barrier()
 
 

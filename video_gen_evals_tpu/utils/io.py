@@ -29,8 +29,11 @@ def save_video_npz(
     out_dir = os.path.join(out_root, os.path.dirname(video_id))
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_root, f"{video_id}.npz")
+    # atomic publish: a crash (or a concurrent host scanning the shared
+    # output tree) must never observe a torn npz at the published path
+    tmp = f"{out_path}.{os.getpid()}.tmp.npz"
     np.savez_compressed(
-        out_path,
+        tmp,
         pose=pose.astype(np.float32),
         betas=betas.astype(np.float32),
         global_orient=global_orient.astype(np.float32),
@@ -38,6 +41,7 @@ def save_video_npz(
         frame_idx=np.asarray(frame_idx, np.int32),
         meta=json.dumps(meta or {}, ensure_ascii=False),
     )
+    os.replace(tmp, out_path)
     return out_path
 
 
@@ -132,5 +136,10 @@ class ResumableLedger:
 
     @staticmethod
     def _save(path: str, data) -> None:
-        with open(path, "w") as f:
+        # atomic publish: a crash mid-write would tear the JSON and (via the
+        # permissive _load fallback) silently discard the whole processed
+        # list, re-extracting the entire action on resume
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             json.dump(data, f, indent=4)
+        os.replace(tmp, path)
