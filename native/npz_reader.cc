@@ -53,6 +53,7 @@ struct LocalHeader {
 struct ArrayEntry {
   std::string name;        // member name without ".npy"
   uint16_t method;
+  uint32_t crc = 0;        // CRC-32 of the uncompressed member (from the CD)
   uint64_t comp_size;
   uint64_t data_offset;    // offset of compressed payload in file
   // parsed .npy metadata (filled lazily)
@@ -91,9 +92,13 @@ int dtype_code_for(const std::string& descr, int* itemsize) {
   return -1;
 }
 
-uint64_t read_zip64_extra(const uint8_t* extra, uint16_t extra_len,
-                          uint64_t fallback, int which) {
-  // which: 0 = uncomp, 1 = comp, 2 = local offset (order within zip64 field)
+// Resolve zip64 placeholders. Per APPNOTE 4.5.3 the zip64 extra field holds
+// 8-byte values ONLY for the 32-bit fields that are 0xFFFFFFFF, in the fixed
+// order (uncomp_size, comp_size, local_offset, disk_start) — so the byte
+// position of e.g. the offset depends on WHICH other fields overflowed.
+// (An archive >4GB of small members stores only the offset, at position 0.)
+void resolve_zip64(const uint8_t* extra, uint16_t extra_len, uint64_t* uncomp,
+                   uint64_t* comp, uint64_t* local_off) {
   const uint8_t* p = extra;
   const uint8_t* end = extra + extra_len;
   while (p + 4 <= end) {
@@ -101,18 +106,21 @@ uint64_t read_zip64_extra(const uint8_t* extra, uint16_t extra_len,
     memcpy(&id, p, 2);
     memcpy(&sz, p + 2, 2);
     p += 4;
+    if (end - p < sz) return;  // torn extra field
     if (id == 0x0001) {
-      // fields appear in order for each 0xFFFFFFFF placeholder; we assume
-      // the standard order uncomp, comp, offset when all are present
-      if ((which + 1) * 8 <= sz) {
-        uint64_t v;
-        memcpy(&v, p + which * 8, 8);
-        return v;
+      const uint8_t* q = p;
+      const uint8_t* qend = p + sz;
+      uint64_t* fields[3] = {uncomp, comp, local_off};
+      for (uint64_t* f : fields) {
+        if (*f != 0xFFFFFFFFull) continue;  // not a placeholder: not stored
+        if (qend - q < 8) return;           // declared but missing: keep FFFF
+        memcpy(f, q, 8);
+        q += 8;
       }
+      return;
     }
     p += sz;
   }
-  return fallback;
 }
 
 bool parse_npy_header(NpzFile* f, ArrayEntry* e, const uint8_t* buf,
@@ -203,14 +211,30 @@ bool member_prefix(NpzFile* f, ArrayEntry* e, std::vector<uint8_t>* scratch,
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) return false;
-  zs.next_in = const_cast<uint8_t*>(comp);
-  zs.avail_in = (uInt)e->comp_size;
+  // feed input in uInt-safe chunks (comp_size can exceed 4GB under zip64)
+  uint64_t in_left = e->comp_size;
+  const uint8_t* in_p = comp;
   zs.next_out = scratch->data();
   zs.avail_out = (uInt)want;
-  int rc = inflate(&zs, Z_FINISH);
+  int rc = Z_OK;
+  while (zs.avail_out > 0 && (in_left > 0 || rc == Z_OK)) {
+    if (zs.avail_in == 0) {
+      if (in_left == 0) break;
+      uInt chunk = in_left > 0x40000000u ? 0x40000000u : (uInt)in_left;
+      zs.next_in = const_cast<uint8_t*>(in_p);
+      zs.avail_in = chunk;
+      in_p += chunk;
+      in_left -= chunk;
+    }
+    rc = inflate(&zs, Z_NO_FLUSH);
+    if (rc == Z_STREAM_END) break;
+    if (rc != Z_OK && rc != Z_BUF_ERROR) break;
+    if (rc == Z_BUF_ERROR && zs.avail_in > 0) break;  // stuck: corrupt stream
+  }
   uint64_t produced = want - zs.avail_out;
   inflateEnd(&zs);
   if (rc != Z_STREAM_END && rc != Z_OK && rc != Z_BUF_ERROR) return false;
+  if (produced == 0) return false;
   *out_ptr = scratch->data();
   *out_len = produced;
   return true;
@@ -222,30 +246,70 @@ bool member_prefix(NpzFile* f, ArrayEntry* e, std::vector<uint8_t>* scratch,
 bool inflate_payload_to(NpzFile* f, ArrayEntry* e, uint8_t* dst) {
   const uint8_t* comp = f->map + e->data_offset;
   if (e->method == 0) {
+    // the npy header's claimed payload must fit inside the zip member
+    if (e->payload_offset > e->comp_size ||
+        e->nbytes > e->comp_size - e->payload_offset)
+      return false;
+    // CRC over the whole stored member (bit flips in incompressible data
+    // are format-valid; only the CRC catches them — numpy's zipfile checks
+    // it, and the corrupt-skip contract needs errors, not silent garbage)
+    uLong crc = crc32(0L, Z_NULL, 0);
+    uint64_t left = e->comp_size;
+    const uint8_t* q = comp;
+    while (left > 0) {
+      uInt chunk = left > 0x40000000u ? 0x40000000u : (uInt)left;
+      crc = crc32(crc, q, chunk);
+      q += chunk;
+      left -= chunk;
+    }
+    if ((uint32_t)crc != e->crc) return false;
     memcpy(dst, comp + e->payload_offset, e->nbytes);
     return true;
   }
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) return false;
-  zs.next_in = const_cast<uint8_t*>(comp);
-  zs.avail_in = (uInt)e->comp_size;
-
+  // Stream both sides in uInt-safe chunks: comp_size AND nbytes can exceed
+  // 4GB (zip64 feature-bank caches), and zlib counters are 32-bit.
+  uint64_t in_left = e->comp_size;
+  const uint8_t* in_p = comp;
   std::vector<uint8_t> hdr(e->payload_offset);
-  zs.next_out = hdr.data();
-  zs.avail_out = (uInt)hdr.size();
-  int rc = inflate(&zs, Z_NO_FLUSH);
-  if (rc != Z_OK && rc != Z_STREAM_END && rc != Z_BUF_ERROR) {
-    inflateEnd(&zs);
-    return false;
+  uint64_t out_done = 0;             // across hdr then payload
+  const uint64_t out_total = e->payload_offset + e->nbytes;
+  uLong crc = crc32(0L, Z_NULL, 0);  // over the full uncompressed member
+  int rc = Z_OK;
+  while (out_done < out_total) {
+    if (zs.avail_in == 0) {
+      if (in_left == 0) break;
+      uInt chunk = in_left > 0x40000000u ? 0x40000000u : (uInt)in_left;
+      zs.next_in = const_cast<uint8_t*>(in_p);
+      zs.avail_in = chunk;
+      in_p += chunk;
+      in_left -= chunk;
+    }
+    if (zs.avail_out == 0) {
+      if (out_done < e->payload_offset) {
+        zs.next_out = hdr.data() + out_done;
+        zs.avail_out = (uInt)(e->payload_offset - out_done);
+      } else {
+        uint64_t left = out_total - out_done;
+        uInt chunk = left > 0x40000000u ? 0x40000000u : (uInt)left;
+        zs.next_out = dst + (out_done - e->payload_offset);
+        zs.avail_out = chunk;
+      }
+    }
+    uint64_t before = zs.total_out;
+    uint8_t* out_start = zs.next_out;
+    rc = inflate(&zs, Z_NO_FLUSH);
+    uint64_t produced = zs.total_out - before;
+    crc = crc32(crc, out_start, (uInt)produced);
+    out_done += produced;
+    if (rc == Z_STREAM_END) break;
+    if (rc != Z_OK && rc != Z_BUF_ERROR) break;
+    if (rc == Z_BUF_ERROR && zs.avail_in > 0 && zs.avail_out > 0) break;
   }
-  zs.next_out = dst;
-  zs.avail_out = (uInt)e->nbytes;
-  rc = inflate(&zs, Z_FINISH);
-  bool ok = (rc == Z_STREAM_END) || (rc == Z_OK && zs.avail_out == 0) ||
-            (rc == Z_BUF_ERROR && zs.avail_out == 0);
   inflateEnd(&zs);
-  return ok;
+  return out_done == out_total && (uint32_t)crc == e->crc;
 }
 
 }  // namespace
@@ -302,42 +366,54 @@ void* npz_open(const char* path) {
       if (lsig == 0x07064b50) {
         uint64_t z64_eocd_off;
         memcpy(&z64_eocd_off, f->map + eocd_off - 20 + 8, 8);
-        memcpy(&n_entries, f->map + z64_eocd_off + 32, 8);
-        memcpy(&cd_off, f->map + z64_eocd_off + 48, 8);
+        if (z64_eocd_off + 56 <= f->size) {
+          memcpy(&n_entries, f->map + z64_eocd_off + 32, 8);
+          memcpy(&cd_off, f->map + z64_eocd_off + 48, 8);
+        }
       }
     }
   }
 
+  // Every offset below is validated against the mmap size: a truncated or
+  // torn archive must surface as open-failure / skipped members, never as
+  // an out-of-bounds read (the manifest layer's corrupt-npz-skip contract,
+  // ref utils.py:292-294, relies on errors rather than crashes).
   uint64_t p = cd_off;
   for (uint64_t i = 0; i < n_entries; ++i) {
+    if (p + sizeof(CDEntry) > f->size) break;
     CDEntry cd;
     memcpy(&cd, f->map + p, sizeof(CDEntry));
     if (cd.sig != 0x02014b50) break;
+    uint64_t rec_len = sizeof(CDEntry) + (uint64_t)cd.name_len +
+                       cd.extra_len + cd.comment_len;
+    if (p + rec_len > f->size) break;
     std::string name(reinterpret_cast<const char*>(f->map + p + sizeof(CDEntry)),
                      cd.name_len);
     const uint8_t* extra = f->map + p + sizeof(CDEntry) + cd.name_len;
+    uint64_t uncomp = cd.uncomp_size;
     uint64_t comp = cd.comp_size;
     uint64_t local_off = cd.local_offset;
-    if (comp == 0xFFFFFFFF)
-      comp = read_zip64_extra(extra, cd.extra_len, comp, 1);
-    if (local_off == 0xFFFFFFFF)
-      local_off = read_zip64_extra(extra, cd.extra_len, local_off, 2);
+    resolve_zip64(extra, cd.extra_len, &uncomp, &comp, &local_off);
+    p += rec_len;
 
     // local header to find the data offset
+    if (local_off + sizeof(LocalHeader) > f->size) continue;
     LocalHeader lh;
     memcpy(&lh, f->map + local_off, sizeof(LocalHeader));
+    if (lh.sig != 0x04034b50) continue;
     uint64_t data_off =
         local_off + sizeof(LocalHeader) + lh.name_len + lh.extra_len;
+    if (data_off > f->size || comp > f->size - data_off) continue;
 
     ArrayEntry e;
     e.name = name.size() > 4 && name.substr(name.size() - 4) == ".npy"
                  ? name.substr(0, name.size() - 4)
                  : name;
     e.method = cd.method;
+    e.crc = cd.crc;
     e.comp_size = comp;
     e.data_offset = data_off;
     f->arrays.push_back(std::move(e));
-    p += sizeof(CDEntry) + cd.name_len + cd.extra_len + cd.comment_len;
   }
   return f;
 }
@@ -364,8 +440,7 @@ int npz_get_info(void* h, int idx, int64_t* info, char* name_out,
   info[1] = e->ndim;
   for (int i = 0; i < 8; ++i) info[2 + i] = e->shape[i];
   snprintf(name_out, name_cap, "%s", e->name.c_str());
-  // nbytes via separate slot? pack into shape tail if ndim < 8
-  return (int)e->nbytes < 0 ? -4 : 0;
+  return 0;
 }
 
 int64_t npz_nbytes(void* h, int idx) {
