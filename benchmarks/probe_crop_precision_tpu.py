@@ -12,6 +12,11 @@ Run (tunnel up, background, long timeout):
     python benchmarks/probe_crop_precision_tpu.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

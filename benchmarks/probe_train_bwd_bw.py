@@ -48,7 +48,7 @@ def main() -> None:
         for _ in range(3)
     ]
     labels = jnp.asarray(
-        np.tile(np.arange(10), batch // 10)[:batch].astype(np.int32)
+        np.tile(np.arange(10), -(-batch // 10))[:batch].astype(np.int32)
     )
     key = jax.random.key(1)
     orig_pick = ckt._pick_block

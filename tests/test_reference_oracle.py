@@ -676,3 +676,204 @@ def test_mos_full_pipeline_matches_reference_main(ref_mos_mod, tmp_path,
                                    atol=1e-12, err_msg=vid)
         np.testing.assert_allclose(ours[vid]["tc"], ref_out[vid]["tc"],
                                    atol=1e-12, err_msg=vid)
+
+
+# ---------------------------------------------------------------------------
+# C20/C21: centroid builder + human-correlation monitor vs the reference's
+# own build_train_centroids_subset / get_human_corr (utils.py:1018-1220),
+# run end-to-end with the reference's OWN torch model on one side and our
+# converted-weight encoder on the other.
+# ---------------------------------------------------------------------------
+
+ORACLE_DIMS_RAW = {"vit": 16, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
+ORACLE_DIMS_DIFF = {"vit": 16, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
+
+
+@pytest.fixture(scope="module")
+def oracle_encoder_pair(ref_model_mod):
+    """Reference torch HumanActionScorer (random init, eval mode) + our flax
+    encoder with the converted weights, at the oracle fixture tree's dims."""
+    from video_gen_evals_tpu.models import EncoderConfig, HumanActionScorer
+    from video_gen_evals_tpu.models.torch_compat import torch_state_dict_to_flax
+
+    torch.manual_seed(21)
+    ref = ref_model_mod.HumanActionScorer(
+        ORACLE_DIMS_RAW, ORACLE_DIMS_DIFF, d_model=64, latent_dim=32,
+        time_layers=2, time_heads=4, dropout=0.0,
+    ).eval()
+    cfg = EncoderConfig.create(
+        ORACLE_DIMS_RAW, ORACLE_DIMS_DIFF, d_model=64, latent_dim=32,
+        time_layers=2, time_heads=4, dropout=0.0,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = torch_state_dict_to_flax(sd, cfg)
+    return ref, HumanActionScorer(cfg), params
+
+
+def _ref_centroids(ref_utils_mod, ref_dataset, ref_stats, kp_root, ref_model,
+                   label_dict):
+    loader = ref_utils_mod.make_test_loader(
+        ref_dataset, clip_len=CLIP_LEN, stride=STRIDE, keypoint_dir=kp_root,
+        stats=ref_stats, batch_size=16,
+    )
+    cen, counts = ref_utils_mod.build_train_centroids_subset(
+        ref_model, loader, label_dict, torch.device("cpu")
+    )
+    return cen, counts
+
+
+def test_centroids_match_reference_builder(
+    ref_utils_mod, ref_dataset, ref_stats, oracle_tree, our_pipeline,
+    oracle_encoder_pair,
+):
+    """C20 oracle: our segment-sum centroid builder == the reference's own
+    ``build_train_centroids_subset`` (ref ``utils.py:1018-1045``) over the
+    same tree, same (converted) weights."""
+    from video_gen_evals_tpu.data import enumerate_windows
+    from video_gen_evals_tpu.metrics.scores import build_centroids
+    from video_gen_evals_tpu.pipelines.score import WindowEncoder
+
+    _, kp_root = oracle_tree
+    manifest, _paths, _stats, bank = our_pipeline
+    ref_model, model, params = oracle_encoder_pair
+    label_dict = {c: i for i, c in enumerate(sorted(CLASSES))}
+
+    cen_t, counts_t = _ref_centroids(
+        ref_utils_mod, ref_dataset, ref_stats, kp_root, ref_model, label_dict
+    )
+
+    enc = WindowEncoder(model, params, batch_size=16, clip_len=CLIP_LEN)
+    wins = enumerate_windows(manifest, CLIP_LEN, STRIDE)
+    seqs, _tc, _wv = enc.encode_bank(bank, wins)
+    labels = jnp.asarray(
+        np.array([label_dict[manifest.items[vi].cls] for vi, _ in wins], np.int32)
+    )
+    cen_j, counts_j = build_centroids(
+        jnp.asarray(seqs), labels, num_classes=len(label_dict)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(counts_j), counts_t.numpy(), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(cen_j), cen_t.numpy(), atol=3e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def gen_tree(tmp_path_factory):
+    """Flat generated-mesh dir + generated-layout keypoints + human scores
+    exercising every matching branch of the reference's get_human_corr:
+    exact normalized match, `_videos_`-normalization match, a class-less
+    video (TC yes / AC no), a human-only name (class-mean fallback), and a
+    class-less human-only name (skipped)."""
+    import json as _json
+
+    from video_gen_evals_tpu.data.fixtures import write_keypoints, write_mesh_npz
+
+    root = tmp_path_factory.mktemp("oracle_gen")
+    gen_dir = str(root / "gen_meshes")
+    gen_kp = str(root / "generated_kps")  # ref path heuristic keys on this name
+    rng = np.random.default_rng(5)
+    stems = [
+        "GenA_JumpingJack_01",
+        "GenB_videos_PushUps_02",   # normalizes to GenB_PushUps_02
+        "GenA_PushUps_03",
+        "GenB_JumpingJack_04",
+        "GenC_Mystery_05",          # no class substring: TC only
+    ]
+    for i, stem in enumerate(stems):
+        write_mesh_npz(os.path.join(gen_dir, f"{stem}.npz"), 12 + i, 16, rng)
+        write_keypoints(os.path.join(gen_kp, stem, "keypoints.npy"), 12 + i, rng)
+    human = {
+        "GenA_JumpingJack_01.mp4": {"ac": 3.1, "tc": 1.4},
+        "GenB_video_PushUps_02.mp4": {"ac": 1.2, "tc": 4.8},  # same normal form
+        "GenA_PushUps_03.mp4": {"ac": 2.5, "tc": 0.9},
+        "GenB_JumpingJack_04.mp4": {"ac": 4.4, "tc": 2.2},
+        "GenC_Mystery_05.mp4": {"ac": 0.7, "tc": 3.6},
+        "GenD_JumpingJack_99.mp4": {"ac": 5.0, "tc": 5.0},  # class-mean fallback
+        "GenE_nothing_77.mp4": {"ac": 9.9, "tc": 9.9},      # no class: skipped
+    }
+    human_path = str(root / "human.json")
+    with open(human_path, "w") as f:
+        _json.dump(human, f)
+    return gen_dir, gen_kp, human_path
+
+
+def test_human_corr_matches_reference(
+    ref_utils_mod, ref_dataset, ref_stats, oracle_tree, our_pipeline,
+    oracle_encoder_pair, gen_tree,
+):
+    """C21 oracle: our human-correlation monitor (bank -> encoder -> per-video
+    AC/TC -> class-mean-fallback correlation) == the reference's own
+    ``get_human_corr`` (ref ``utils.py:1047-1220``) end to end, same
+    centroids, same (converted) weights."""
+    import glob
+    import json as _json
+
+    from video_gen_evals_tpu.data import (
+        ModalityPaths, build_feature_bank, enumerate_windows, scan_generated_flat,
+    )
+    from video_gen_evals_tpu.metrics.correlation import (
+        correlate_with_class_fallback,
+    )
+    from video_gen_evals_tpu.pipelines.score import WindowEncoder
+    from video_gen_evals_tpu.train.experiment import (
+        generated_monitor_scores, infer_generated_classes,
+    )
+
+    _, kp_root = oracle_tree
+    _manifest, _paths, our_stats, _bank = our_pipeline
+    ref_model, model, params = oracle_encoder_pair
+    gen_dir, gen_kp, human_path = gen_tree
+    label_dict = {c: i for i, c in enumerate(sorted(CLASSES))}
+
+    cen_t, _ = _ref_centroids(
+        ref_utils_mod, ref_dataset, ref_stats, kp_root, ref_model, label_dict
+    )
+
+    mesh_paths = sorted(glob.glob(os.path.join(gen_dir, "*.npz")))
+    _app, ref_action, _anat, ref_motion = ref_utils_mod.get_human_corr(
+        mesh_paths, human_path, cen_t, label_dict, ref_stats, ref_model,
+        clip_len=CLIP_LEN, stride=STRIDE, gen_kp_dir=gen_kp,
+    )
+
+    gen_manifest = scan_generated_flat(gen_dir)
+    inferred = infer_generated_classes(gen_manifest.items, label_dict)
+    # the class-less video must exercise the TC-only branch
+    assert inferred.count(None) == 1
+    gen_paths = ModalityPaths(keypoint_dir=gen_kp, layout="generated")
+    bank = build_feature_bank(
+        gen_manifest.items, gen_paths, our_stats, min_rows=CLIP_LEN + 8
+    )
+    wins = enumerate_windows(gen_manifest, CLIP_LEN, STRIDE)
+    enc = WindowEncoder(model, params, batch_size=16, clip_len=CLIP_LEN)
+    ac_scores, tc_scores = generated_monitor_scores(
+        gen_manifest.items, inferred, bank, wins, enc,
+        np.asarray(cen_t.numpy()), label_dict,
+    )
+    assert len(tc_scores) == 5 and len(ac_scores) == 4
+
+    with open(human_path) as f:
+        human = _json.load(f)
+    our_action = correlate_with_class_fallback(
+        ac_scores, human, "ac", label_dict.keys()
+    )
+    our_motion = correlate_with_class_fallback(
+        tc_scores, human, "tc", label_dict.keys()
+    )
+
+    # AC: 4 name matches + GenD on the class mean; GenC (class-less) is
+    # outside action_scores AND uninferable from its human name -> skipped.
+    # TC: GenC name-matches too -> 6. GenE (class-less, human-only) never
+    # correlates on either metric.
+    for ref_out, ours, n in (
+        (ref_action, our_action, 5),
+        (ref_motion, our_motion, 6),
+    ):
+        assert ref_out["spearman"] is not None
+        assert abs(ref_out["spearman"] - ours["spearman"]) < 1e-9
+        # f32 encoder noise (~2e-5 per embedding) propagates into the
+        # continuous pearson values; ranks (spearman) are exact
+        assert abs(ref_out["pearson"] - ours["pearson"]) < 5e-6
+        assert ours["n"] == n

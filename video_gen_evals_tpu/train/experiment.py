@@ -393,11 +393,7 @@ class Experiment:
         from ..data import scan_generated_flat
 
         gen_manifest = scan_generated_flat(gen_dir)
-        # class inference by known-class substring (ref utils.py:1069-1073)
-        for it in gen_manifest.items:
-            stem = os.path.splitext(it.name)[0]
-            cls = infer_class_from_name(stem, self.label_dict.keys())
-            it.cls = cls if cls is not None else next(iter(self.label_dict))
+        inferred = infer_generated_classes(gen_manifest.items, self.label_dict)
         gen_paths = ModalityPaths(
             keypoint_dir=cfg.paths.gen_kp_dir,
             clip_dir=cfg.paths.gen_clip_dir,
@@ -413,31 +409,10 @@ class Experiment:
             ),
         )
         windows = enumerate_windows(gen_manifest, cfg.clip_len, cfg.stride)
-        enc = self._window_encoder()
-        seqs, window_tc, win_video = enc.encode_bank(bank, windows)
-        num_videos = len(gen_manifest.items)
-        tc_v = np.asarray(
-            video_tc_scores(jnp.asarray(window_tc), jnp.asarray(win_video), num_videos)
+        ac_scores, tc_scores = generated_monitor_scores(
+            gen_manifest.items, inferred, bank, windows,
+            self._window_encoder(), centroids, self.label_dict,
         )
-        video_label = np.array(
-            [self.label_dict.get(c, 0) for c in bank.classes], np.int32
-        )
-        ac_v = np.asarray(
-            video_ac_scores(
-                jnp.asarray(seqs),
-                jnp.asarray(win_video),
-                jnp.asarray(video_label),
-                jnp.asarray(centroids),
-            )
-        )
-        tc_scores = {
-            gen_manifest.items[v].name: float(tc_v[v]) for v in range(num_videos)
-        }
-        ac_scores = {
-            gen_manifest.items[v].name: float(ac_v[v])
-            for v in range(num_videos)
-            if bank.classes[v] in self.label_dict
-        }
         with open(human_path) as f:
             human = json.load(f)
         out = {
@@ -549,3 +524,62 @@ class Experiment:
                     "error": f"{type(e).__name__}: {e}",
                 })
             self.save_resume_checkpoint(epoch)
+
+
+def infer_generated_classes(
+    items: T.Sequence, label_dict: T.Dict[str, int]
+) -> T.List[T.Optional[str]]:
+    """Known-class-substring inference for generated videos (ref
+    ``utils.py:1069-1073``): each item's class is set to the first label
+    whose name appears in the filename stem, falling back to the first
+    known class when none does (the reference's ``_infer_class_from_name``
+    fallback). Returns the per-item inference BEFORE the fallback — the
+    AC scorer needs to know which videos genuinely matched (see
+    :func:`generated_monitor_scores`)."""
+    inferred: T.List[T.Optional[str]] = []
+    for it in items:
+        stem = os.path.splitext(it.name)[0]
+        cls = infer_class_from_name(stem, label_dict.keys())
+        inferred.append(cls)
+        it.cls = cls if cls is not None else next(iter(label_dict))
+    return inferred
+
+
+def generated_monitor_scores(
+    items: T.Sequence,
+    inferred: T.Sequence[T.Optional[str]],
+    bank,
+    windows: T.Sequence[T.Tuple[int, int]],
+    encoder: WindowEncoder,
+    centroids: np.ndarray,
+    label_dict: T.Dict[str, int],
+) -> T.Tuple[T.Dict[str, float], T.Dict[str, float]]:
+    """Per-video (ac_scores, tc_scores) for the human-corr monitor, exactly
+    per the reference's ``get_human_corr`` single pass (ref
+    ``utils.py:1125-1165``): TC (mean window TC) covers EVERY video, while
+    AC only covers videos whose name contains a known class — the reference
+    skips class-less videos from ``action_scores`` (``utils.py:1154-1159``)
+    even though their VideoItem carried the fallback class."""
+    seqs, window_tc, win_video = encoder.encode_bank(bank, windows)
+    num_videos = len(items)
+    tc_v = np.asarray(
+        video_tc_scores(jnp.asarray(window_tc), jnp.asarray(win_video), num_videos)
+    )
+    video_label = np.array(
+        [label_dict.get(c, 0) for c in bank.classes], np.int32
+    )
+    ac_v = np.asarray(
+        video_ac_scores(
+            jnp.asarray(seqs),
+            jnp.asarray(win_video),
+            jnp.asarray(video_label),
+            jnp.asarray(centroids),
+        )
+    )
+    tc_scores = {items[v].name: float(tc_v[v]) for v in range(num_videos)}
+    ac_scores = {
+        items[v].name: float(ac_v[v])
+        for v in range(num_videos)
+        if inferred[v] is not None and bank.classes[v] in label_dict
+    }
+    return ac_scores, tc_scores
