@@ -877,3 +877,138 @@ def test_human_corr_matches_reference(
         # continuous pearson values; ranks (spearman) are exact
         assert abs(ref_out["pearson"] - ours["pearson"]) < 5e-6
         assert ours["n"] == n
+
+
+# ---------------------------------------------------------------------------
+# C24 composed: the ENTIRE eval.py main scoring flow vs score_generated —
+# real-train centroids, generated-class inference (canonical aliases +
+# capitalized-part fallback + Unknown), window features, per-video AC/TC,
+# video_scores schema, and the two-stage (exact-then-suffix) human matching.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eval_gen_tree(tmp_path_factory):
+    """Generated tree exercising eval.py's class-inference branches (ref
+    ``eval.py:55-74``): canonical part, lowercase alias part, capitalized
+    fallback part, and Unknown; human keys exercising exact, normalized,
+    suffix-fallback, and unmatched branches of ``compute_spearman_correlation``
+    (ref ``eval.py:297-347``)."""
+    import json as _json
+
+    from video_gen_evals_tpu.data.fixtures import write_keypoints, write_mesh_npz
+
+    root = tmp_path_factory.mktemp("oracle_eval_gen")
+    gen_dir = str(root / "gen_meshes")
+    gen_kp = str(root / "generated_kps")
+    rng = np.random.default_rng(17)
+    stems = [
+        "GenA_JumpingJack_01",      # canonical part match
+        "GenB_videos_PushUps_02",   # 'videos' part skipped; norm-name match
+        "Wan21_pushups_03",         # lowercase part canonicalizes to PushUps
+        "GenC_Mystery_05",          # no class part -> fallback cls 'GenC'
+        "lower_case_06",            # nothing qualifies -> 'Unknown'
+    ]
+    for i, stem in enumerate(stems):
+        write_mesh_npz(os.path.join(gen_dir, f"{stem}.npz"), 12 + i, 16, rng)
+        write_keypoints(os.path.join(gen_kp, stem, "keypoints.npy"), 12 + i, rng)
+    human = {
+        "GenA_JumpingJack_01.mp4": {"ac": 3.7, "tc": 1.1},
+        "GenB_video_PushUps_02.mp4": {"ac": 1.9, "tc": 4.2},  # same norm form
+        "Wan21_pushups_03.mp4": {"ac": 2.8, "tc": 0.6},
+        "extra_GenC_Mystery_05.mp4": {"ac": 4.1, "tc": 2.9},  # suffix fallback
+        "lower_case_06.mp4": {"ac": 0.3, "tc": 3.3},
+        "nomatch_99.mp4": {"ac": 9.9, "tc": 9.9},             # unmatched
+    }
+    human_path = str(root / "human_eval.json")
+    with open(human_path, "w") as f:
+        _json.dump(human, f)
+    return gen_dir, gen_kp, human_path
+
+
+def test_eval_main_flow_matches_reference(
+    ref_utils_mod, ref_eval_mod, oracle_tree, oracle_encoder_pair, eval_gen_tree,
+    tmp_path,
+):
+    """C24 oracle: our ``score_generated`` == the reference's composed
+    eval-main flow (ref ``eval.py:350-466``) run with its OWN functions and
+    torch model: same per-video AC/TC, same sign-inverted spearman through
+    the two-stage name matching."""
+    import json as _json
+
+    from torch.utils.data import DataLoader
+
+    from video_gen_evals_tpu.data import ModalityPaths
+    from video_gen_evals_tpu.pipelines.score import ScoreConfig, score_generated
+
+    mesh_root, kp_root = oracle_tree
+    ref_model, model, params = oracle_encoder_pair
+    gen_dir, gen_kp, human_path = eval_gen_tree
+    dev = torch.device("cpu")
+
+    # ---- reference side: eval.py main, composed from its own functions ----
+    real_ds = ref_utils_mod.NpzVideoDataset(mesh_root, filter_classes=CLASSES)
+    train_ds, _ = ref_utils_mod.train_test_split(real_ds, train_ratio=0.8, seed=1337)
+    ref_stats = ref_utils_mod.compute_stats_from_npz(train_ds.items, kp_root)
+    cen_t, label_dict_ref = ref_eval_mod.build_real_centroids(
+        ref_model, mesh_root, kp_root, ref_stats,
+        clip_len=CLIP_LEN, stride=STRIDE, device=dev,
+    )
+    gen_ds = ref_eval_mod.create_dataset_from_generated_meshes(gen_dir)
+    samples = ref_utils_mod.sample_all_windows_npz(
+        gen_ds, clip_len=CLIP_LEN, stride=STRIDE
+    )
+    wd = ref_utils_mod.WindowDataset(
+        samples, clip_len=CLIP_LEN, stats=ref_stats, keypoint_dir=gen_kp
+    )
+    loader = DataLoader(
+        wd, batch_size=16, shuffle=False, collate_fn=ref_utils_mod.safe_collate
+    )
+    feats = ref_eval_mod.extract_window_features(ref_model, loader, device=dev)
+    ac_ref = ref_eval_mod.compute_action_consistency_scores(
+        feats, cen_t, label_dict_ref
+    )
+    tc_ref = ref_eval_mod.compute_temporal_coherence_scores(feats)
+    sp_ac, _p1, matched_ac = ref_eval_mod.compute_spearman_correlation(
+        ac_ref, human_path, "ac"
+    )
+    sp_tc, _p2, matched_tc = ref_eval_mod.compute_spearman_correlation(
+        tc_ref, human_path, "tc"
+    )
+
+    # ---- our side: one call ----
+    out_json = str(tmp_path / "video_scores.json")
+    result = score_generated(
+        model, params, gen_dir, mesh_root,
+        real_paths=ModalityPaths(keypoint_dir=kp_root, layout="real"),
+        gen_paths=ModalityPaths(keypoint_dir=gen_kp, layout="generated"),
+        cfg=ScoreConfig(clip_len=CLIP_LEN, stride=STRIDE, batch_size=16),
+        human_scores_path=human_path,
+        output_json=out_json,
+    )
+
+    with open(out_json) as f:
+        ours = _json.load(f)
+
+    # class-inference parity: Unknown + fallback-cls videos score TC only
+    assert set(tc_ref) == {os.path.splitext(s)[0] + "" for s in (
+        "GenA_JumpingJack_01", "GenB_videos_PushUps_02", "Wan21_pushups_03",
+        "GenC_Mystery_05", "lower_case_06",
+    )}
+    assert set(ac_ref) == {
+        "GenA_JumpingJack_01", "GenB_videos_PushUps_02", "Wan21_pushups_03"
+    }
+    assert set(ours) == set(tc_ref)
+    for vid, tc_val in tc_ref.items():
+        assert abs(ours[vid]["tc"] - tc_val) < 3e-5, vid
+    for vid in ours:
+        assert ("ac" in ours[vid]) == (vid in ac_ref), vid
+    for vid, ac_val in ac_ref.items():
+        assert abs(ours[vid]["ac"] - ac_val) < 3e-5, vid
+
+    # two-stage matching parity: 5 TC matches (4 exact/norm + 1 suffix),
+    # 3 AC matches; sign-inverted spearman equal to rank exactness
+    assert len(matched_tc) == 5 and len(matched_ac) == 3
+    assert result["tc_corr"]["n"] == 5 and result["ac_corr"]["n"] == 3
+    assert abs(result["ac_corr"]["spearman"] - sp_ac) < 1e-9
+    assert abs(result["tc_corr"]["spearman"] - sp_tc) < 1e-9
