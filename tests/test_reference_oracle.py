@@ -1012,3 +1012,79 @@ def test_eval_main_flow_matches_reference(
     assert result["tc_corr"]["n"] == 5 and result["ac_corr"]["n"] == 3
     assert abs(result["ac_corr"]["spearman"] - sp_ac) < 1e-9
     assert abs(result["tc_corr"]["spearman"] - sp_tc) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# C12 deterministic corruption ops + the reverse-migration guarantee
+# (flax export -> the reference's OWN load_model).
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_corruptions_match_reference(ref_utils_mod):
+    """reverse_sequence / get_static_window are RNG-free: assert exact
+    equality with the reference's own implementations (ref
+    ``utils.py:78-95``). (partial_shuffle is RNG-driven — distributional
+    equivalence documented in PARITY.md, properties tested in
+    test_corruption.py.)"""
+    from video_gen_evals_tpu.ops.corruption import reverse_sequence, static_window
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(4, 7, 11)).astype(np.float32)
+    xt = torch.from_numpy(x)
+
+    want_rev = ref_utils_mod.reverse_sequence(xt).numpy()
+    got_rev = np.asarray(reverse_sequence(jnp.asarray(x)))
+    np.testing.assert_array_equal(got_rev, want_rev)
+
+    want_static = ref_utils_mod.get_static_window(xt).numpy()
+    got_static = np.asarray(static_window(jnp.asarray(x)))
+    np.testing.assert_array_equal(got_static, want_static)
+
+
+def test_flax_export_loads_into_reference_model(
+    ref_model_mod, ref_eval_mod, tmp_path
+):
+    """Reverse migration (MIGRATION.md): a model trained in this framework,
+    exported with ``flax_params_to_torch_state_dict`` and saved as a torch
+    checkpoint with hparam keys, loads through the reference's OWN
+    ``load_model`` (ref ``eval.py:136-165``) and reproduces our forward.
+    strict=False hides missing keys, so key-set equality is asserted too."""
+    from video_gen_evals_tpu.models import EncoderConfig, HumanActionScorer
+    from video_gen_evals_tpu.models.fusion_encoder import init_encoder
+    from video_gen_evals_tpu.models.torch_compat import (
+        flax_params_to_torch_state_dict,
+    )
+
+    cfg = EncoderConfig.create(
+        ORACLE_DIMS_RAW, ORACLE_DIMS_DIFF, d_model=64, latent_dim=32,
+        time_layers=2, time_heads=4, dropout=0.0,
+    )
+    model, params = init_encoder(cfg, jax.random.key(13), clip_len=CLIP_LEN)
+    sd_np = flax_params_to_torch_state_dict(jax.device_get(params), cfg)
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd_np.items()}
+
+    ckpt = {
+        "model_state_dict": sd,
+        "d_model": 64, "latent_dim": 32, "time_layers": 2, "time_heads": 4,
+        "dropout": 0.0,
+    }
+    path = str(tmp_path / "exported.pt")
+    torch.save(ckpt, path)
+
+    ref = ref_eval_mod.load_model(
+        path, ORACLE_DIMS_RAW, ORACLE_DIMS_DIFF, device=torch.device("cpu")
+    )
+    # strict=False would silently skip anything misnamed: the export must
+    # cover the reference model's EXACT key set
+    assert set(sd) == set(ref.state_dict().keys())
+
+    rng = np.random.default_rng(31)
+    D = sum(ORACLE_DIMS_RAW.values()) + sum(ORACLE_DIMS_DIFF.values())
+    x = rng.normal(size=(3, CLIP_LEN, D)).astype(np.float32)
+    with torch.no_grad():
+        seq_t, frames_t, _ = ref(torch.from_numpy(x))
+    seq_j, frames_j, _ = model.apply(
+        {"params": params}, jnp.asarray(x), deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(seq_j), seq_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(frames_j), frames_t.numpy(), atol=2e-5)

@@ -186,6 +186,21 @@ def flax_params_to_torch_state_dict(
         sd[f"{p}.norm2.weight"] = np.asarray(t["ln2"]["scale"])
         sd[f"{p}.norm2.bias"] = np.asarray(t["ln2"]["bias"])
 
+    # the reference model's state_dict also carries the (deterministic)
+    # sinusoidal-PE buffer ``pos_enc.pe`` [1, 5000, d_model] (ref
+    # ``model.py:8-16``: max_len=5000, even dims sin / odd dims cos); emit
+    # it so exported checkpoints cover the reference's EXACT key set and
+    # survive a third-party ``load_state_dict(strict=True)``
+    d = config.d_model
+    pos = np.arange(5000, dtype=np.float32)[:, None]
+    div = np.exp(
+        np.arange(0, d, 2, dtype=np.float32) * (-np.log(10000.0) / d)
+    )
+    pe = np.zeros((5000, d), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    sd["pos_enc.pe"] = pe[None]
+
     return sd
 
 
