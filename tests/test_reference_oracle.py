@@ -1088,3 +1088,171 @@ def test_flax_export_loads_into_reference_model(
     )
     np.testing.assert_allclose(np.asarray(seq_j), seq_t.numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(frames_j), frames_t.numpy(), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# C22/C23 composed: the reference's OWN BaseExperiment/Exp_TCL_Hard_V2Plus
+# training loop vs our Experiment harness, same weights, same batches.
+# RNG-driven pieces are neutralized the honest way (dropout=0 via
+# model_kwargs; hard_negative weight=0 via GLOBAL_CONFIG) so the compared
+# quantity — TCL + AdamW + cosine schedule over identical PK batches — is
+# deterministic on both sides.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_train_mod(ref_utils_mod, ref_model_mod, ref_losses_mod):
+    """train.py does bare-name imports of utils/model/losses — alias the
+    already-loaded reference modules, load, restore."""
+    import sys
+
+    saved = {k: sys.modules.get(k) for k in ("utils", "model", "losses")}
+    sys.modules["utils"] = ref_utils_mod
+    sys.modules["model"] = ref_model_mod
+    sys.modules["losses"] = ref_losses_mod
+    try:
+        return _load_ref("train", "train.py")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_training_loop_matches_reference(ref_train_mod, tmp_path, monkeypatch):
+    """C22/C23 oracle: per-epoch train losses, final test loss, and final
+    PARAMETERS of our harness match the reference's own training loop run
+    on the same tree with the same initial weights and the same fixed PK
+    batches (ref ``train.py:105-528``)."""
+    from torch.utils.data import DataLoader
+
+    from video_gen_evals_tpu.core.config import PathsConfig, TrainConfig
+    from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+    from video_gen_evals_tpu.models.torch_compat import (
+        flax_params_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+    from video_gen_evals_tpu.train.experiment import Experiment
+    from video_gen_evals_tpu.train.step import TrainState
+
+    # own tree: 4 videos/class so the test split holds a MULTI-window video
+    # per class (a single-window test video gives singleton-class TCL ->
+    # both sides skip every eval batch -> inf, asserting nothing numeric)
+    mesh_root, kp_root = make_fixture_tree(
+        str(tmp_path / "tree"), CLASSES, videos_per_class=4,
+        frames=(20, 16, 14, 12), vit_dim=16, kp_shorter_by=3, seed=11,
+    )
+    monkeypatch.chdir(tmp_path)  # ref __init__ creates SAVE/<exp> under cwd
+    monkeypatch.setitem(
+        ref_train_mod.GLOBAL_CONFIG["loss_weights"], "hard_negative", 0.0
+    )
+    # the reference takes model dims from GLOBAL_CONFIG["modality_dims"]
+    # (train.py:238-253, edit-the-source config style), not the probe —
+    # point the vit dims at the fixture's vit_dim
+    monkeypatch.setitem(
+        ref_train_mod.GLOBAL_CONFIG["modality_dims"]["raw"], "vit", 16
+    )
+    monkeypatch.setitem(
+        ref_train_mod.GLOBAL_CONFIG["modality_dims"]["diff"], "vit", 16
+    )
+    P, K, EPOCHS = 2, 3, 2
+
+    # ---- reference experiment (its own classes, cpu, deterministic) ----
+    ref_cfg = dict(
+        dataset_dir=mesh_root, batch_size=P * K, latent_dim=32, epochs=EPOCHS,
+        clip_len=CLIP_LEN, stride=STRIDE, P=P, K=K, lr=3e-4, device="cpu",
+        name="oracle", filter_classes=list(CLASSES),
+        model_kwargs=dict(d_model=64, time_layers=2, time_heads=4, dropout=0.0),
+        data_parallel=False, real_kp=kp_root, num_workers=0,
+    )
+    torch.manual_seed(7)
+    Exp = ref_train_mod.Exp_TCL_Hard_V2Plus
+    rexp = object.__new__(Exp)  # its __init__ hardwires cuda + real paths
+    rexp.model = ref_train_mod.HumanActionScorer
+    ref_train_mod.BaseExperiment.__init__(rexp, ref_cfg)
+    rexp.tcl = ref_train_mod.TCL().to(rexp.device)
+    rexp.hard = ref_train_mod.SupConWithHardNegatives().to(rexp.device)
+
+    # fixed PK batches (deterministic round-robin, K windows per class) fed
+    # to BOTH sides — RNG-stream equivalence is documented as
+    # distributional (PARITY.md), so batch selection is pinned, not emulated
+    labels = [rexp.label_dict[it.cls] for (it, _s) in rexp.train_window_ds.samples]
+    per_class: dict = {}
+    for i, l in enumerate(labels):
+        per_class.setdefault(l, []).append(i)
+    steps = len(rexp.pk_sampler)
+    batches, cursors = [], {c: 0 for c in per_class}
+    for _ in range(steps):
+        b = []
+        for c in sorted(per_class):
+            lst = per_class[c]
+            b += [lst[(cursors[c] + j) % len(lst)] for j in range(K)]
+            cursors[c] += K
+        batches.append(b)
+    rexp.train_loader = DataLoader(
+        rexp.train_window_ds, batch_sampler=batches,
+        collate_fn=ref_train_mod.safe_collate,
+    )
+
+    # ---- our experiment, same init weights, same batches ----
+    cfg2 = TrainConfig(
+        paths=PathsConfig(
+            real_meshes_dir=mesh_root, real_kp_dir=kp_root,
+            generated_meshes_dir=str(tmp_path / "none"),
+            human_scores=str(tmp_path / "none.json"),
+        ),
+        seed=1337, epochs=EPOCHS, clip_len=CLIP_LEN, stride=STRIDE, P=P, K=K,
+        lr=3e-4, latent_dim=32, d_model=64, time_layers=2, time_heads=4,
+        dropout=0.0, hard_negative_weight=0.0, filter_classes=list(CLASSES),
+        save_dir=str(tmp_path / "save"),
+    )
+    exp2 = Experiment(cfg2)
+
+    # precondition: identical split order, window order, labels, step count
+    assert [(it.cls, it.name) for it in rexp.train_ds.items] == [
+        (it.cls, it.name) for it in exp2.train_ds.items
+    ]
+    assert [(it.name, s) for (it, s) in rexp.train_window_ds.samples] == [
+        (exp2.train_ds.items[vi].name, s) for (vi, s) in exp2.train_windows
+    ]
+    assert rexp.label_dict == exp2.label_dict
+    assert steps == len(exp2.sampler) == len(batches)
+
+    # .copy(): .numpy() returns VIEWS of torch storage, and the reference's
+    # in-place AdamW updates would otherwise mutate our "initial" weights
+    # before our side runs
+    sd = {
+        k: v.detach().numpy().copy() for k, v in rexp.model.state_dict().items()
+    }
+    params = torch_state_dict_to_flax(sd, exp2.enc_cfg)
+    exp2.state = TrainState(
+        params, exp2.tx.init(params), jnp.zeros((), jnp.int32)
+    )
+    exp2._sampler_for_epoch = lambda epoch: [
+        np.asarray(b, np.int64) for b in batches
+    ]
+
+    # ---- run both, compare ----
+    ref_losses = [rexp.train_one_epoch(e) for e in range(EPOCHS)]
+    ref_eval, _ = rexp.evaluate_test_set(EPOCHS - 1)
+
+    our_losses = [exp2.train_one_epoch(e) for e in range(EPOCHS)]
+    our_eval, _ = exp2.evaluate_test_loss(EPOCHS - 1)
+
+    for e, (r, o) in enumerate(zip(ref_losses, our_losses)):
+        assert abs(r - o) < 2e-3 * max(1.0, abs(r)), (e, r, o)
+    assert abs(ref_eval - our_eval) < 2e-3 * max(1.0, abs(ref_eval)), (
+        ref_eval, our_eval,
+    )
+
+    # final parameters: the 6 AdamW+cosine updates land on the same weights
+    sd_ref = {k: v.detach().numpy() for k, v in rexp.model.state_dict().items()}
+    sd_ours = flax_params_to_torch_state_dict(
+        jax.device_get(exp2.state.params), exp2.enc_cfg
+    )
+    worst = 0.0
+    for k, v in sd_ref.items():
+        d = float(np.max(np.abs(sd_ours[k] - v)))
+        worst = max(worst, d)
+    assert worst < 5e-4, f"max param diff after training: {worst}"
