@@ -468,6 +468,34 @@ def test_pk_sampler_matches_reference_bitwise(ref_utils_mod):
         assert our_batches == ref_batches, f"epoch {epoch} diverged"
 
 
+def test_pk_sampler_small_dataset_matches_reference(ref_utils_mod):
+    """total_windows < P*K: the reference's do-while loop (yield first, then
+    check the emitted count, ref ``utils.py:1005-1010``) still emits ONE
+    batch even though len() == 0 — so must ours, bitwise."""
+    from video_gen_evals_tpu.data.sampler import PKBatchSampler
+
+    labels = [0, 0, 1, 1, 2]  # 5 windows < P*K = 3*4
+    P, K = 3, 4
+
+    ref = ref_utils_mod.PKBatchSampler(
+        labels, P=P, K=K, generator=np.random.default_rng(3)
+    )
+    ours_rng = np.random.default_rng(3)
+    by_class: dict = {}
+    for idx, y in enumerate(labels):
+        by_class.setdefault(int(y), []).append(idx)
+    for c, idxs in by_class.items():
+        ours_rng.shuffle(np.array(idxs))
+    ours_rng.shuffle(list(by_class.keys()))
+    ours = PKBatchSampler(labels, P=P, K=K, rng=ours_rng)
+
+    assert len(ref) == len(ours) == 0
+    ref_batches = [list(b) for b in ref]
+    our_batches = [list(np.asarray(b)) for b in ours]
+    assert len(ref_batches) == 1  # the reference emits one batch, not zero
+    assert our_batches == ref_batches
+
+
 # ---------------------------------------------------------------------------
 # L5 reporting oracles: the reference's OWN process_human_scores.py /
 # process_scores.py run as fixtures (both import cleanly — main() guarded).

@@ -44,8 +44,8 @@ from ..ops.procrustes import procrustes_kp_delta
 if T.TYPE_CHECKING:  # avoid import cycle with stats.py
     from .stats import ModalityStats
 
-# canonical modality order == concatenation order (ref train.py:29-48)
-_ORDER = ("vit", "global", "pose", "beta", "kp2d", "clip", "dino")
+# canonical modality order == concatenation order: stats.MODALITIES (single
+# source of truth; ref train.py:29-48)
 
 _NORM_EPS = 1e-6  # eps added to std at normalization time (ref utils.py:473)
 
@@ -222,10 +222,28 @@ def compute_video_features(
     """
     arrays = load_video_arrays(item, paths, strict_kp=True, npz=npz)
     mods = list(modalities) if modalities is not None else stats.modalities
+    bank, height = assemble_video_bank(
+        arrays, mods, stats, min_rows, item.name
+    )
+    return VideoFeatures(bank=bank, height=height, cls=item.cls, name=item.name)
+
+
+def assemble_video_bank(
+    arrays: T.Dict[str, np.ndarray],
+    mods: T.Sequence[str],
+    stats: "ModalityStats",
+    min_rows: int,
+    name: str,
+    diffs: T.Optional[T.Dict[str, np.ndarray]] = None,
+) -> T.Tuple[np.ndarray, int]:
+    """Normalize + sentinel-pad one video's modality arrays into a bank row
+    block ``[n_rows, D]``. Shared by :func:`build_feature_bank` and the
+    in-memory extraction pipeline (``pipelines/full.py``) so the validation
+    guards and layout stay in sync. Returns ``(bank_2d, height)``."""
     missing = [m for m in mods if m not in arrays]
     if missing:
         raise FileNotFoundError(
-            f"video '{item.name}': missing modalities {missing} "
+            f"video '{name}': missing modalities {missing} "
             f"(available: {sorted(arrays)})"
         )
     empty = [m for m in mods if arrays[m].shape[0] == 0]
@@ -233,14 +251,15 @@ def compute_video_features(
         # a 0-row modality would yield a 0-row bank (row_limit -1) whose
         # windows silently read the PREVIOUS video's rows — fail at load
         raise ValueError(
-            f"video '{item.name}': modalities {empty} have zero frames "
+            f"video '{name}': modalities {empty} have zero frames "
             "(truncated/failed extraction?)"
         )
     # validate first, diff only the requested subset (the delta pass is the
     # expensive part — no point running it for excluded modalities or for
     # videos that fail validation)
     arrays = {m: arrays[m] for m in mods}
-    diffs = compute_modality_diffs(arrays)
+    if diffs is None:
+        diffs = compute_modality_diffs(arrays)
 
     height = max(arrays[m].shape[0] for m in mods)
     n_rows = max(height + 1, min_rows)
@@ -265,7 +284,7 @@ def compute_video_features(
         diff_blocks.append(diff_full)
 
     bank = np.concatenate(raw_blocks + diff_blocks, axis=1).astype(np.float32)
-    return VideoFeatures(bank=bank, height=height, cls=item.cls, name=item.name)
+    return bank, height
 
 
 @dataclasses.dataclass
@@ -296,6 +315,23 @@ class FeatureBank:
     def num_videos(self) -> int:
         return len(self.offsets)
 
+    def validate_clip_len(self, clip_len: int) -> None:
+        """``gather_windows_sliced`` reads contiguous ``[clip_len, D]``
+        slices, so every video's bank must hold >= clip_len rows — a shorter
+        bank (built with ``min_rows < clip_len``) would silently hand the
+        window's tail to the NEXT video's rows. Build-time ``min_rows >=
+        clip_len`` is a convention; this enforces it wherever a clip_len
+        meets a bank (cheap: one min over ``row_limit``)."""
+        if len(self.offsets) == 0:
+            return
+        shortest = int(np.min(self.row_limit)) + 1
+        if shortest < clip_len:
+            raise ValueError(
+                f"feature bank has a video with only {shortest} rows < "
+                f"clip_len={clip_len} — rebuild with min_rows >= {clip_len} "
+                "(windows would silently read the next video's rows)"
+            )
+
 
 def build_feature_bank(
     items: T.Sequence,
@@ -318,15 +354,29 @@ def build_feature_bank(
         compute_video_features(it, paths, stats, mods, min_rows=min_rows, npz=z)
         for it, z in zip(items, npzs)
     ]
-    offsets = np.zeros(len(feats), np.int32)
-    row_limit = np.zeros(len(feats), np.int32)
-    row = 0
-    for i, f in enumerate(feats):
-        offsets[i] = row
-        row_limit[i] = f.bank.shape[0] - 1
-        row += f.bank.shape[0]
-    bank = np.concatenate([f.bank for f in feats], axis=0)
+    return finalize_feature_bank(
+        [f.bank for f in feats], [f.name for f in feats],
+        [f.cls for f in feats], stats, mods,
+    )
 
+
+def finalize_feature_bank(
+    banks: T.Sequence[np.ndarray],
+    names: T.Sequence[str],
+    classes: T.Sequence[str],
+    stats: "ModalityStats",
+    mods: T.Sequence[str],
+) -> FeatureBank:
+    """Concatenate per-video bank blocks into a :class:`FeatureBank` with
+    gather metadata (offsets, per-video last-row limits, z0 override).
+    Shared by :func:`build_feature_bank` and ``pipelines/full.py``."""
+    offsets = np.zeros(len(banks), np.int32)
+    row_limit = np.zeros(len(banks), np.int32)
+    row = 0
+    for i, b in enumerate(banks):
+        offsets[i] = row
+        row_limit[i] = b.shape[0] - 1
+        row += b.shape[0]
     z0_parts = [
         _normalize(
             np.zeros((1, stats.mean_diff[m].shape[0]), np.float32),
@@ -335,15 +385,14 @@ def build_feature_bank(
         )[0]
         for m in mods
     ]
-    one_pass_raw = sum(int(stats.mean_raw[m].shape[0]) for m in mods)
     return FeatureBank(
-        bank=bank,
+        bank=np.concatenate(list(banks), axis=0),
         offsets=offsets,
         row_limit=row_limit,
         z0_diff=np.concatenate(z0_parts).astype(np.float32),
-        one_pass_raw=one_pass_raw,
-        classes=[f.cls for f in feats],
-        names=[f.name for f in feats],
+        one_pass_raw=sum(int(stats.mean_raw[m].shape[0]) for m in mods),
+        classes=list(classes),
+        names=list(names),
     )
 
 
@@ -584,9 +633,21 @@ def build_feature_bank_cached(
     fp = bank_fingerprint(items, paths, stats, modalities, min_rows=min_rows)
     if cache_path and os.path.exists(cache_path):
         try:
+            # the fingerprint and the payload come from separate opens, so a
+            # concurrent DIFFERENT-config writer's os.replace between them
+            # could hand us a bank the fingerprint never validated; bracket
+            # the reads with stat() and require an unchanged inode (replace
+            # always changes it) before trusting the pair
+            st_before = os.stat(cache_path)
             if load_bank_fingerprint(cache_path) == fp:
                 bank = load_feature_bank(cache_path)
-                if bank.names == names and bank.classes == [
+                st_after = os.stat(cache_path)
+                unchanged = (
+                    st_before.st_ino == st_after.st_ino
+                    and st_before.st_mtime_ns == st_after.st_mtime_ns
+                    and st_before.st_size == st_after.st_size
+                )
+                if unchanged and bank.names == names and bank.classes == [
                     it.cls for it in items
                 ]:
                     return bank

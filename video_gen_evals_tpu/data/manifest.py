@@ -17,14 +17,14 @@ happens downstream in the feature bank.
 from __future__ import annotations
 
 import dataclasses
+import glob
 import json
 import os
 import random
 import typing as T
 
-import numpy as np
-
 from ..utils.names import infer_class_from_generated_stem
+from ..utils.native_npz import npz_shapes
 
 
 @dataclasses.dataclass
@@ -72,26 +72,22 @@ class VideoManifest:
 def _load_whitelist(wdir: str) -> T.Dict[str, T.Set[str]]:
     """Per-class whitelist JSONs: ``<cls>.json`` lists of video names; stems
     accepted with or without extension (ref ``utils.py:256-266``)."""
-    wl: T.Dict[str, T.Set[str]] = {}
-    if os.path.isdir(wdir):
-        for fname in sorted(os.listdir(wdir)):
-            if fname.endswith(".json"):
-                cls_name = os.path.splitext(fname)[0]
-                with open(os.path.join(wdir, fname)) as f:
-                    vids = json.load(f)
-                wl[cls_name] = {
-                    os.path.splitext(os.path.basename(v))[0] for v in vids
-                }
-    return wl
+    if not os.path.isdir(wdir):
+        return {}
+    stem = lambda n: os.path.splitext(os.path.basename(n))[0]
+    return {
+        stem(path): {stem(v) for v in json.load(open(path))}
+        for path in sorted(glob.glob(os.path.join(wdir, "*.json")))
+    }
 
 
 def _probe_npz(path: str) -> T.Optional[T.Tuple[int, int]]:
-    """Return (mesh length, vit dim) or None if unreadable."""
+    """Return (mesh length, vit dim) or None if unreadable — header-only
+    (``npz_shapes``): scanning must not decompress whole datasets just to
+    read two shapes."""
     try:
-        npz = np.load(path, mmap_mode="r")
-        pose = npz["pose"]
-        vit = npz["vit"]
-        return int(pose.shape[0]), int(vit.shape[1])
+        shapes = npz_shapes(path)
+        return shapes["pose"][0], shapes["vit"][1]
     except Exception:
         return None
 
@@ -146,11 +142,17 @@ def scan_generated_flat(generated_dir: str) -> VideoManifest:
         f = os.path.basename(path)
         stem = os.path.splitext(f)[0]
         try:
-            npz = np.load(path, mmap_mode="r")
-            length = int(npz["pose"].shape[0]) if "pose" in npz else 0
-            vit = npz["vit"] if "vit" in npz else None
-            vit_dim = int(vit.shape[1]) if vit is not None and vit.ndim > 1 else 0
+            shapes = npz_shapes(path)  # header-only: no payload decompress
+            length = shapes["pose"][0] if "pose" in shapes else 0
+            vit_shape = shapes.get("vit")
+            vit_dim = vit_shape[1] if vit_shape and len(vit_shape) > 1 else 0
         except Exception:
+            continue
+        if length <= 0:
+            # an npz without a usable pose array can never produce a window
+            # (enumerate_windows skips length<=0) — admitting it would only
+            # crash the eager bank build later (KeyError 'pose'); the lazy
+            # reference never reads such items either, so outputs match
             continue
         items.append(
             VideoItem(

@@ -63,7 +63,12 @@ class PKBatchSampler:
         self.rng.shuffle(class_order)
         cursor = 0
 
-        num_batches = len(self)
+        # the reference's loop is do-while shaped (ref ``utils.py:970-1010``:
+        # yield first, THEN check the emitted count) — so even when
+        # total_windows < P*K (len() == 0) it emits one batch; a plain
+        # `while emitted < len(self)` head-check would silently train ZERO
+        # steps per epoch on such datasets
+        num_batches = max(1, len(self))
         emitted = 0
         while emitted < num_batches:
             if cursor + self.P <= len(class_order):

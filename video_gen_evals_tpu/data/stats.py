@@ -111,8 +111,16 @@ def compute_stats(
     accs_raw = {m: _Acc() for m in MODALITIES}
     accs_diff = {m: _Acc() for m in MODALITIES}
 
-    for it in items:
-        arrays = load_video_arrays(it, paths, strict_kp=False)
+    # prefetch mesh npzs through the native thread pool (same files the bank
+    # build decodes with 8 threads — the serial per-file decompress was the
+    # dominant cold-start host cost of this pass); a None (unopenable) falls
+    # back to the single-file loader for its original clear error
+    from ..utils.native_npz import load_npz_many
+
+    items = list(items)
+    npzs = load_npz_many([it.path for it in items], n_threads=8)
+    for it, z in zip(items, npzs):
+        arrays = load_video_arrays(it, paths, strict_kp=False, npz=z)
         diffs = compute_modality_diffs(arrays)
         for m, X in arrays.items():
             accs_raw[m].update(X)
@@ -156,9 +164,21 @@ def compute_stats_cached(
     from .features import source_fingerprint
 
     fp = source_fingerprint(items, paths, tag=f"stats-v1|eps={eps!r}")
-    if os.path.exists(cache_path) and load_stats_fingerprint(cache_path) == fp:
+    if os.path.exists(cache_path):
         try:
-            return ModalityStats.load(cache_path)
+            # fingerprint and payload come from separate opens — bracket with
+            # stat() so a concurrent different-config writer's os.replace
+            # between them (inode change) falls through to a rebuild
+            st_before = os.stat(cache_path)
+            if load_stats_fingerprint(cache_path) == fp:
+                out = ModalityStats.load(cache_path)
+                st_after = os.stat(cache_path)
+                if (
+                    st_before.st_ino == st_after.st_ino
+                    and st_before.st_mtime_ns == st_after.st_mtime_ns
+                    and st_before.st_size == st_after.st_size
+                ):
+                    return out
         except Exception:
             pass  # unreadable cache: rebuild below
     stats = compute_stats(items, paths, eps=eps)

@@ -39,16 +39,16 @@ def enumerate_windows(
 
 
 def slice_or_pad(arr: np.ndarray, start: int, clip_len: int) -> np.ndarray:
-    """Take ``arr[start:start+clip_len]``, padding by nearest-edge repeats."""
-    end = start + clip_len
-    if start < 0 or start >= arr.shape[0]:
-        idx = 0 if start < 0 else arr.shape[0] - 1
-        return np.repeat(arr[idx : idx + 1], clip_len, axis=0)
-    if end <= arr.shape[0]:
-        return arr[start:end]
-    tail = arr[start:]
-    pad = np.repeat(arr[-1:], clip_len - tail.shape[0], axis=0)
-    return np.concatenate([tail, pad], axis=0)
+    """Window ``[start, start+clip_len)`` of ``arr`` with the reference's
+    edge rules (ref ``utils.py:366-381``): a negative start repeats frame 0
+    for the WHOLE window (not a clamped ramp), any other out-of-range or
+    short-tail row repeats the last frame. One fancy-index gather covers
+    every case."""
+    if start < 0:
+        rows = np.zeros(clip_len, dtype=np.intp)
+    else:
+        rows = np.minimum(np.arange(start, start + clip_len), arr.shape[0] - 1)
+    return arr[rows]
 
 
 def group_windows_by_video(

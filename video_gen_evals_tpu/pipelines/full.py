@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 from ..data.features import (
     FeatureBank,
+    assemble_video_bank,
     compute_modality_diffs,
-    _normalize,
-    _ROW_ALIGN,
+    finalize_feature_bank,
 )
 from ..data.manifest import VideoItem, VideoManifest
 from ..data.stats import ModalityStats, _Acc, MODALITIES
@@ -89,58 +89,18 @@ def bank_from_arrays(
     min_rows: int = 40,
     diffs_list: T.Optional[T.Sequence[T.Dict[str, np.ndarray]]] = None,
 ) -> FeatureBank:
-    """In-memory feature-bank builder over extracted arrays."""
+    """In-memory feature-bank builder over extracted arrays — the same
+    assembly (and validation guards) as ``data/features.py``'s file-backed
+    builder, via the shared helpers."""
     mods = stats.modalities
-    banks: T.List[np.ndarray] = []
-    offsets = np.zeros(len(per_video_arrays), np.int32)
-    row_limit = np.zeros(len(per_video_arrays), np.int32)
-    row = 0
-    for i, arrays in enumerate(per_video_arrays):
-        diffs = (
-            diffs_list[i] if diffs_list is not None
-            else compute_modality_diffs(arrays)
-        )
-        height = max(arrays[m].shape[0] for m in mods)
-        n_rows = max(height + 1, min_rows)
-        n_rows = (n_rows + _ROW_ALIGN - 1) // _ROW_ALIGN * _ROW_ALIGN
-        raw_blocks, diff_blocks = [], []
-        for m in mods:
-            raw = _normalize(arrays[m], stats.mean_raw[m], stats.std_raw[m])
-            diff = _normalize(diffs[m], stats.mean_diff[m], stats.std_diff[m])
-            z0 = _normalize(
-                np.zeros((1, diff.shape[1]), np.float32),
-                stats.mean_diff[m],
-                stats.std_diff[m],
-            )
-            pad = n_rows - raw.shape[0]
-            raw_blocks.append(
-                np.concatenate([raw, np.repeat(raw[-1:], pad, axis=0)], axis=0)
-            )
-            diff_blocks.append(
-                np.concatenate([diff, np.repeat(z0, pad, axis=0)], axis=0)
-            )
-        banks.append(np.concatenate(raw_blocks + diff_blocks, axis=1).astype(np.float32))
-        offsets[i] = row
-        row_limit[i] = banks[-1].shape[0] - 1  # per-video last row index
-        row += banks[-1].shape[0]
-
-    z0_parts = [
-        _normalize(
-            np.zeros((1, stats.mean_diff[m].shape[0]), np.float32),
-            stats.mean_diff[m],
-            stats.std_diff[m],
+    banks = [
+        assemble_video_bank(
+            arrays, mods, stats, min_rows, names[i],
+            diffs=diffs_list[i] if diffs_list is not None else None,
         )[0]
-        for m in mods
+        for i, arrays in enumerate(per_video_arrays)
     ]
-    return FeatureBank(
-        bank=np.concatenate(banks, axis=0),
-        offsets=offsets,
-        row_limit=row_limit,
-        z0_diff=np.concatenate(z0_parts).astype(np.float32),
-        one_pass_raw=sum(int(stats.mean_raw[m].shape[0]) for m in mods),
-        classes=list(classes),
-        names=list(names),
-    )
+    return finalize_feature_bank(banks, names, classes, stats, mods)
 
 
 @dataclasses.dataclass

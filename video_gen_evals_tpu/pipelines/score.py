@@ -246,6 +246,9 @@ class WindowEncoder:
         caller that keeps the bank resident (the training harness's eval
         passes) skips re-transferring it per call."""
         n = len(windows)
+        # a bank built with min_rows < clip_len would let the sliced gather
+        # read the NEXT video's rows — enforce the build-time convention here
+        bank.validate_clip_len(self.clip_len)
         video_idx = np.array([w[0] for w in windows], np.int32)
         starts = np.array([w[1] for w in windows], np.int32)
 

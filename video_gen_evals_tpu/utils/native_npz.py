@@ -115,6 +115,50 @@ def load_npz(path: str) -> T.Dict[str, np.ndarray]:
         lib.npz_close(handle)
 
 
+def npz_shapes(path: str) -> T.Dict[str, T.Tuple[int, ...]]:
+    """Name -> shape for every (non-pickled) member, WITHOUT decompressing
+    payloads: the native reader parses just the npy header from a small
+    inflated prefix; the numpy fallback streams only the header bytes
+    through zipfile. Makes manifest scans O(#files) instead of O(dataset
+    bytes) — ``np.load(mmap_mode='r')`` on a compressed npz inflates the
+    whole member for a ``.shape`` access."""
+    lib = load_library()
+    if lib is None:
+        import zipfile
+
+        out: T.Dict[str, T.Tuple[int, ...]] = {}
+        with zipfile.ZipFile(path) as zf:
+            for nm in zf.namelist():
+                if not nm.endswith(".npy"):
+                    continue
+                with zf.open(nm) as f:
+                    version = np.lib.format.read_magic(f)
+                    if version == (1, 0):
+                        shape, _c, _dt = np.lib.format.read_array_header_1_0(f)
+                    else:
+                        shape, _c, _dt = np.lib.format.read_array_header_2_0(f)
+                    out[nm[:-4]] = tuple(int(d) for d in shape)
+        return out
+
+    handle = lib.npz_open(path.encode())
+    if not handle:
+        raise IOError(f"native npz reader could not open {path}")
+    try:
+        out = {}
+        for i in range(lib.npz_num_arrays(handle)):
+            info = (ctypes.c_int64 * 10)()
+            name = ctypes.create_string_buffer(256)
+            if lib.npz_get_info(handle, i, info, name, 256) != 0:
+                continue  # unsupported member (e.g. pickled "meta" strings)
+            ndim = int(info[1])
+            out[name.value.decode()] = tuple(
+                int(info[2 + d]) for d in range(ndim)
+            )
+        return out
+    finally:
+        lib.npz_close(handle)
+
+
 def load_npz_many(
     paths: T.Sequence[str], n_threads: int = 4
 ) -> T.List[T.Optional[T.Dict[str, np.ndarray]]]:
