@@ -170,10 +170,15 @@ def main() -> None:
         # (the slice variant's scratch blew it at 64 — BENCH_NOTES round 2)
         bench_bw = int(os.environ.get("BENCH_BW", 32))
 
+        # BENCH_ATTN=core routes the temporal transformer through the
+        # layout-preserving fused attention kernel (ops/attention_core.py)
+        bench_attn = os.environ.get("BENCH_ATTN", "xla")
+
         def forward(params, w):
             seq, frames_emb, _ = block_kernel_forward(
                 cfg, params, w, block_windows=bench_bw, precision="high",
                 stage_fusion=fusion, conv_variant=conv_variant,
+                attn_impl=bench_attn,
             )
             return seq, frames_emb
     else:

@@ -194,12 +194,16 @@ def block_kernel_forward(
     interpret: bool = False,
     stage_fusion: str = "stage",
     conv_variant: str = "slice",
+    attn_impl: str = "xla",
 ) -> T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Deterministic forward with the residual conv stages running in the
     fused Pallas kernel (``ops/conv_kernel.py``) and everything else on the
     module math. Consumes the SAME param tree as ``HumanActionScorer``;
     per-chain layout is kept (the stacked-chain variants measured slower,
     see BENCH_NOTES round-2 shootout).
+
+    ``attn_impl``: temporal-transformer attention — "xla" (einsum, default)
+    or "core" (layout-preserving fused Pallas attention, f32 in-kernel dots).
 
     ``precision``: "high" (in-kernel bf16_3x — matches the scoring default)
     or "highest" (full-f32 dots).
@@ -357,7 +361,10 @@ def block_kernel_forward(
         tokens.dtype
     )
     for i in range(cfg.time_layers):
-        tokens = _transformer_layer(params[f"temporal{i}"], tokens, cfg.time_heads)
+        tokens = _transformer_layer(
+            params[f"temporal{i}"], tokens, cfg.time_heads,
+            attn_impl=attn_impl, interpret=interpret,
+        )
 
     cls_out = tokens[:, 0, :]
     return l2_normalize(cls_out, axis=-1), l2_normalize(tokens, axis=-1), tokens
@@ -369,18 +376,30 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (x - mu) / jnp.sqrt(var + eps) * scale + bias
 
 
-def _transformer_layer(p, x, n_heads):
+def _transformer_layer(p, x, n_heads, attn_impl="xla", interpret=False):
     B, S, D = x.shape
     hd = D // n_heads
     qkv = x @ p["in_proj"]["kernel"] + p["in_proj"]["bias"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, S, n_heads, hd)
-    k = k.reshape(B, S, n_heads, hd)
-    v = v.reshape(B, S, n_heads, hd)
-    attn = jax.nn.softmax(
-        jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd), axis=-1
-    )
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
+    if attn_impl == "core":
+        # Layout-preserving fused attention (ops/attention_core.py): consumes
+        # the [B, S, D] qkv slices directly — no bqhd<->bhqk relayouts, the
+        # [S, S] score matrix lives in VMEM. In-kernel dots run f32
+        # ("highest"), i.e. at or above the surrounding bf16_3x precision
+        # class. S=33 experiment; see BENCH_NOTES for the measured verdict.
+        from ..ops.attention_core import mha_core
+
+        ctx = mha_core(
+            q, k, v, heads=n_heads, precision="highest", interpret=interpret
+        )
+    else:
+        q = q.reshape(B, S, n_heads, hd)
+        k = k.reshape(B, S, n_heads, hd)
+        v = v.reshape(B, S, n_heads, hd)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd), axis=-1
+        )
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
     ctx = ctx @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
     x = _layer_norm(x + ctx, p["ln1"]["scale"], p["ln1"]["bias"])
     h = jax.nn.relu(x @ p["linear1"]["kernel"] + p["linear1"]["bias"])
