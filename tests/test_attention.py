@@ -70,11 +70,19 @@ def test_flash_bf16_precision_mode(rng):
     np.testing.assert_allclose(out, ref, atol=0.03, rtol=0.03)
 
 
-def test_mha_core_matches_reference(rng):
+@pytest.mark.parametrize(
+    "B,N,H,D",
+    [
+        (2, 48, 4, 64),   # aligned shapes
+        (2, 33, 8, 32),   # the scoring regime: sublane-unaligned N, sub-128
+                          # lane slices (the block_kernel_forward call site)
+    ],
+)
+@pytest.mark.parametrize("precision", ["highest", "high"])
+def test_mha_core_matches_reference(rng, B, N, H, D, precision):
     """Layout-preserving attention core (ops/attention_core.py) vs einsum."""
     from video_gen_evals_tpu.ops.attention_core import mha_core
 
-    B, N, H, D = 2, 48, 4, 64
     q = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
@@ -84,9 +92,19 @@ def test_mha_core_matches_reference(rng):
         )
     ).reshape(B, N, H * D)
     out = np.asarray(
-        mha_core(q, k, v, heads=H, precision="highest", interpret=True)
+        mha_core(q, k, v, heads=H, precision=precision, interpret=True)
     )
+    # interpret mode runs f32 regardless of precision class; on-chip "high"
+    # is bf16_3x (within the scoring budget, PARITY.md)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_mha_core_rejects_bad_precision(rng):
+    from video_gen_evals_tpu.ops.attention_core import mha_core
+
+    q = jnp.zeros((2, 8, 32), jnp.float32)
+    with pytest.raises(ValueError, match="precision"):
+        mha_core(q, q, q, heads=4, precision="BENCH_ATTN", interpret=True)
 
 
 def test_vit_block_core_impl_matches_xla(rng):

@@ -73,6 +73,19 @@ def test_block_kernel_forward_matches_module(rng):
     )
     for a, b in zip(out_hi, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    # end-to-end with the fused Pallas attention at the scoring geometry
+    # (N=33, H=4 here; the 8-head regime is pinned in test_attention.py)
+    out_core = block_kernel_forward(
+        cfg, params, x, block_windows=4, precision="highest",
+        attn_impl="core", interpret=True,
+    )
+    for a, b in zip(out_core, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    with pytest.raises(ValueError, match="attn_impl"):
+        block_kernel_forward(
+            cfg, params, x, block_windows=4, attn_impl="BENCH_ATTN",
+            interpret=True,
+        )
 
 
 def test_chain_kernel_matches_stage_kernels(rng):

@@ -70,6 +70,37 @@ def test_frames_to_scores_end_to_end(rng):
     assert "vit" in result.stats.modalities
 
 
+def test_classless_video_gets_tc_only(rng):
+    """A video whose name matches no known class substring is EXCLUDED from
+    AC (the reference skips it rather than scoring against an arbitrary
+    centroid, ref ``utils.py:1154-1159``) but still gets TC — same semantics
+    as the oracled score_bank path."""
+    extractor = _stub_single_person_detect(tiny_extractor())
+    dims_raw = {"vit": 32, "global": 9, "pose": 207, "beta": 10}
+    dims_diff = {"vit": 32, "global": 3, "pose": 69, "beta": 10}
+    cfg = EncoderConfig.create(dims_raw, dims_diff, d_model=32, time_layers=1, time_heads=4)
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=8)
+
+    frames_by_video = {
+        "GenX_JumpingJack_00": rng.integers(0, 255, size=(12, 48, 40, 3)).astype(np.uint8),
+        "GenX_mystery_clip_01": rng.integers(0, 255, size=(12, 48, 40, 3)).astype(np.uint8),
+    }
+    label_dict = {"JumpingJack": 0, "PushUps": 1}
+    centroids = rng.normal(size=(2, 32)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=-1, keepdims=True)
+
+    result = score_videos_end_to_end(
+        extractor, model, params, frames_by_video, centroids, label_dict,
+        cfg=ScoreConfig(clip_len=8, stride=8, batch_size=8),
+        with_keypoints=False,
+    )
+    known = result.scores["GenX_JumpingJack_00"]
+    unknown = result.scores["GenX_mystery_clip_01"]
+    assert "ac" in known and np.isfinite(known["ac"])
+    assert "ac" not in unknown
+    assert np.isfinite(unknown["tc"])
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_window_scoring_matches_serial(rng):
     """Window batch sharded over the mesh data axis scores identically to the

@@ -363,7 +363,7 @@ def block_kernel_forward(
     for i in range(cfg.time_layers):
         tokens = _transformer_layer(
             params[f"temporal{i}"], tokens, cfg.time_heads,
-            attn_impl=attn_impl, interpret=interpret,
+            attn_impl=attn_impl, precision=precision, interpret=interpret,
         )
 
     cls_out = tokens[:, 0, :]
@@ -376,7 +376,8 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (x - mu) / jnp.sqrt(var + eps) * scale + bias
 
 
-def _transformer_layer(p, x, n_heads, attn_impl="xla", interpret=False):
+def _transformer_layer(p, x, n_heads, attn_impl="xla", precision="highest",
+                       interpret=False):
     B, S, D = x.shape
     hd = D // n_heads
     qkv = x @ p["in_proj"]["kernel"] + p["in_proj"]["bias"]
@@ -384,15 +385,16 @@ def _transformer_layer(p, x, n_heads, attn_impl="xla", interpret=False):
     if attn_impl == "core":
         # Layout-preserving fused attention (ops/attention_core.py): consumes
         # the [B, S, D] qkv slices directly — no bqhd<->bhqk relayouts, the
-        # [S, S] score matrix lives in VMEM. In-kernel dots run f32
-        # ("highest"), i.e. at or above the surrounding bf16_3x precision
-        # class. S=33 experiment; see BENCH_NOTES for the measured verdict.
+        # [S, S] score matrix lives in VMEM. In-kernel dots run at the
+        # forward's precision class ("high" = bf16_3x, "highest" = f32), so
+        # core-vs-xla A/Bs compare like with like. S=33 experiment; see
+        # BENCH_NOTES for the measured verdict.
         from ..ops.attention_core import mha_core
 
         ctx = mha_core(
-            q, k, v, heads=n_heads, precision="highest", interpret=interpret
+            q, k, v, heads=n_heads, precision=precision, interpret=interpret
         )
-    else:
+    elif attn_impl == "xla":
         q = q.reshape(B, S, n_heads, hd)
         k = k.reshape(B, S, n_heads, hd)
         v = v.reshape(B, S, n_heads, hd)
@@ -400,6 +402,10 @@ def _transformer_layer(p, x, n_heads, attn_impl="xla", interpret=False):
             jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd), axis=-1
         )
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
+    else:
+        # a typo'd impl must fail loudly — silently falling through to the
+        # einsum path would make a bench run report xla numbers as "core"
+        raise ValueError(f"unknown attn_impl {attn_impl!r}")
     ctx = ctx @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
     x = _layer_norm(x + ctx, p["ln1"]["scale"], p["ln1"]["bias"])
     h = jax.nn.relu(x @ p["linear1"]["kernel"] + p["linear1"]["bias"])

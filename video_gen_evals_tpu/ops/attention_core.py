@@ -38,8 +38,12 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
     """One program = one frame block; loops heads with fused f32 softmax."""
     BF, N, D = q_ref.shape
     hd = D // heads
-    hi = precision == "highest"
-    prec = jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT
+    hi = precision in ("high", "highest")
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,          # bf16_3x on the MXU
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
 
     for f in range(BF):
         q = q_ref[f]
@@ -79,11 +83,14 @@ def mha_core(
     """Layout-preserving fused multi-head attention: [B, N, D] -> [B, N, D].
 
     ``precision``: "default" = input-dtype dots (bf16 extraction mode, f32
-    softmax/accumulation), "highest" = all-f32 dots.
+    softmax/accumulation), "high" = f32-cast inputs with bf16_3x dots (the
+    scoring precision class), "highest" = all-f32 dots.
     """
     B, N, D = q.shape
     if D % heads:
         raise ValueError(f"D={D} not divisible by heads={heads}")
+    if precision not in ("default", "high", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
     scale = scale if scale is not None else 1.0 / math.sqrt(D // heads)
     bf = block_frames
     while B % bf:

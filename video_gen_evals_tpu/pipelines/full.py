@@ -173,16 +173,21 @@ def score_videos_end_to_end(
         {m: stats.std_diff[m] for m in used_mods},
     )
 
-    classes = [
-        infer_class_from_name(n, label_dict.keys()) or next(iter(label_dict))
-        for n in names
-    ]
-    bank = bank_from_arrays(arrays_list, names, classes, stats,
+    # class-less videos get TC only: the reference EXCLUDES videos whose
+    # class can't be inferred (or has no centroid) from AC rather than
+    # scoring them against an arbitrary centroid (ref ``utils.py:1154-1159``,
+    # ``eval.py:246-248``) — same semantics as the oracled score_bank path.
+    classes = [infer_class_from_name(n, label_dict.keys()) for n in names]
+    has_label = np.array(
+        [c is not None and label_dict[c] < len(centroids) for c in classes]
+    )
+    bank_classes = [c or "" for c in classes]
+    bank = bank_from_arrays(arrays_list, names, bank_classes, stats,
                             diffs_list=diffs_list)
     manifest = VideoManifest(
         [
             VideoItem(cls=c, name=n, path="", length=a["vit"].shape[0], vit_dim=a["vit"].shape[1])
-            for c, n, a in zip(classes, names, arrays_list)
+            for c, n, a in zip(bank_classes, names, arrays_list)
         ]
     )
     windows = enumerate_windows(manifest, cfg.clip_len, cfg.stride)
@@ -195,7 +200,12 @@ def score_videos_end_to_end(
     tc_v = np.asarray(
         video_tc_scores(jnp.asarray(window_tc), jnp.asarray(win_video), num_videos)
     )
-    video_label = np.array([label_dict.get(c, 0) for c in classes], np.int32)
+    # labels without a centroid row are masked by has_label; keep the gather
+    # in-range regardless
+    video_label = np.array(
+        [label_dict[c] if h else 0 for c, h in zip(classes, has_label)],
+        np.int32,
+    )
     ac_v = np.asarray(
         video_ac_scores(
             jnp.asarray(seqs),
@@ -204,7 +214,10 @@ def score_videos_end_to_end(
             jnp.asarray(centroids),
         )
     )
-    scores = {
-        n: {"ac": float(ac_v[i]), "tc": float(tc_v[i])} for i, n in enumerate(names)
-    }
+    scores = {}
+    for i, n in enumerate(names):
+        entry: T.Dict[str, float] = {"tc": float(tc_v[i])}
+        if has_label[i]:
+            entry["ac"] = float(ac_v[i])
+        scores[n] = entry
     return FullPipelineResult(scores, rejected, stats)
