@@ -202,7 +202,7 @@ def main() -> None:
             breakdown["upload_cast_ms"] = round(
                 (time.perf_counter() - t) / 4 * 1e3, 1
             )
-            box1, single, _present = timed(
+            box1, _box_pose, single, _present = timed(
                 "detect_ms",
                 lambda: jax.tree_util.tree_map(
                     np.asarray,

@@ -324,3 +324,87 @@ def test_mesh_requires_divisible_frame_batch():
             frame_batch=12,
         )
         Extractor(tiny_extractor_mesh, mesh=make_mesh(8, 1))
+
+
+def test_parity_preset_knobs():
+    """ExtractorConfig.parity() pins every reference-reproduction knob
+    (VERDICT round-3 #2): R-CNN mesh boxes with the exact (non-fast)
+    RCNNConfig, upstream preprocessing, 'high' matmuls, f32 params,
+    bug-compat keypoint dropping, anti-aliased ViTDet crops, the
+    full-frame pose fallback."""
+    from video_gen_evals_tpu.models.rcnn import RCNNConfig
+
+    cfg = ExtractorConfig.parity()
+    assert cfg.mesh_detector == "rcnn"
+    assert cfg.preproc == "upstream"
+    assert cfg.matmul_precision == "high"
+    assert cfg.param_dtype == "float32"
+    assert cfg.kp_bug_compat is True
+    assert cfg.vitdet_antialias is True
+    assert cfg.pose_fullframe_fallback is True
+    assert cfg.rcnn == RCNNConfig.x101_32x8d()
+    assert cfg.rcnn != RCNNConfig.fast()
+    # published DWPose detector thresholds
+    assert (cfg.pose_det_prefilter, cfg.pose_det_iou,
+            cfg.pose_det_score_thresh) == (0.1, 0.45, 0.3)
+    # overrides still thread through
+    assert ExtractorConfig.parity(frame_batch=16).frame_batch == 16
+
+
+def test_pose_fullframe_fallback_keeps_frames(rng):
+    """Upstream mode: a frame with NO detected person still yields a
+    keypoint row (onnxpose substitutes the [0,0,W,H] box), so no frame is
+    ever dropped — the reference's actual behavior. With the fallback off,
+    the no-person frame is dropped."""
+    import jax.numpy as jnp
+
+    ex = tiny_extractor()
+
+    def no_person_detect(params, frames_f32, frame_wh):
+        B = frames_f32.shape[0]
+        boxes = jnp.tile(jnp.asarray([[4.0, 4.0, 30.0, 40.0]], jnp.float32), (B, 1))
+        present = jnp.arange(B) % 2 == 0   # odd frames: no person
+        fb = jnp.asarray([0.0, 0.0, 40.0, 48.0], jnp.float32)
+        box_pose = jnp.where(present[:, None], boxes, fb)
+        return boxes, box_pose, present, present
+
+    ex._detect = no_person_detect
+    frames = rng.integers(0, 255, size=(6, 48, 40, 3)).astype(np.uint8)
+    kp = ex.process_video_keypoints(frames)
+    assert kp["valid"].all()          # fallback: every frame kept
+
+    ex2 = tiny_extractor(pose_fullframe_fallback=False)
+    ex2._detect = no_person_detect
+    kp2 = ex2.process_video_keypoints(frames)
+    np.testing.assert_array_equal(kp2["valid"], np.arange(6) % 2 == 0)
+
+
+def test_upstream_detect_emits_fullframe_fallback_box(rng):
+    """The real jitted detect stage in upstream mode: with a random-weight
+    detector that finds nothing, the pose box is exactly [0, 0, W, H]."""
+    import jax.numpy as jnp
+
+    ex = tiny_extractor()
+    frames = rng.integers(0, 255, size=(4, 48, 40, 3)).astype(np.uint8)
+    f32 = ex._upload_frames(frames)
+    wh = (jnp.float32(40), jnp.float32(48))
+    _bm, bp, _single, present = ex._detect(ex.params["det"], f32, wh)
+    present = np.asarray(present)
+    bp = np.asarray(bp)
+    for i in range(4):
+        if not present[i]:
+            np.testing.assert_allclose(bp[i], [0.0, 0.0, 40.0, 48.0])
+
+
+def test_legacy_preproc_mode_still_works(rng):
+    ex = tiny_extractor(preproc="legacy")
+    frames = rng.integers(0, 255, size=(6, 48, 40, 3)).astype(np.uint8)
+    mesh, kp = ex.process_video_full(frames, with_keypoints=True)
+    if mesh is not None:
+        assert mesh["vit"].shape[1] == 32
+        assert kp["kp120"].shape == (6, 120)
+
+
+def test_bad_preproc_rejected():
+    with pytest.raises(ValueError, match="preproc"):
+        ExtractorConfig(preproc="BENCH")

@@ -341,3 +341,65 @@ def test_pil_resize_matmul_matches_pillow(rng):
                 )
             )
             np.testing.assert_allclose(got[..., c], ref, atol=2e-3)
+
+
+def test_dwpose_person_detections_matches_onnxdet_oracle(rng):
+    """dwpose_person_detections == a numpy transcription of DWPose onnxdet:
+    class = argmax(obj*cls) per location, candidates > 0.1, CLASS-AGNOSTIC
+    NMS at IoU 0.45, boxes in score-descending keep order, person mask by
+    class id (the caller applies the published 0.3/0.5 score rules)."""
+    from video_gen_evals_tpu.models.detector import dwpose_person_detections
+
+    n, C = 60, 4
+    centers = rng.uniform(20, 200, size=(n, 2))
+    wh = rng.uniform(10, 60, size=(n, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1).astype(
+        np.float32
+    )
+    obj = rng.uniform(0.0, 1.0, size=n).astype(np.float32)
+    cls = rng.uniform(0.0, 1.0, size=(n, C)).astype(np.float32)
+    raw = {
+        "boxes": jnp.asarray(boxes)[None],
+        "obj": jnp.asarray(obj)[None],
+        "cls": jnp.asarray(cls)[None],
+    }
+    bb, ss, person = dwpose_person_detections(
+        raw, prefilter_thresh=0.1, iou_thresh=0.45, max_out=16
+    )
+    got = [
+        (tuple(np.round(b, 3)), bool(p))
+        for b, s, p in zip(np.asarray(bb[0]), np.asarray(ss[0]), np.asarray(person[0]))
+        if s > 0
+    ]
+
+    # onnxdet transcription: multiclass_nms(..., class_agnostic=True)
+    scores_all = obj[:, None] * cls
+    cls_ind = scores_all.argmax(1)
+    cls_score = scores_all[np.arange(n), cls_ind]
+    m = cls_score > 0.1
+    vb, vs, vc = boxes[m], cls_score[m], cls_ind[m]
+    keep = _numpy_nms(vb, vs, 0.45)[:16]
+    want = [(tuple(np.round(vb[i], 3)), bool(vc[i] == 0)) for i in keep]
+    assert got == want
+
+
+def test_dwpose_person_detections_score_order(rng):
+    """Kept boxes come out score-descending — the published pipeline's
+    'first person' is its best-scoring one."""
+    from video_gen_evals_tpu.models.detector import dwpose_person_detections
+
+    boxes = np.array(
+        [[0, 0, 10, 10], [100, 100, 120, 130], [300, 50, 340, 90]], np.float32
+    )
+    obj = np.array([0.5, 0.9, 0.7], np.float32)
+    cls = np.zeros((3, 2), np.float32)
+    cls[:, 0] = 1.0
+    raw = {
+        "boxes": jnp.asarray(boxes)[None],
+        "obj": jnp.asarray(obj)[None],
+        "cls": jnp.asarray(cls)[None],
+    }
+    bb, ss, person = dwpose_person_detections(raw, max_out=4)
+    s = np.asarray(ss[0])
+    assert s[0] >= s[1] >= s[2]
+    np.testing.assert_allclose(np.asarray(bb[0, 0]), boxes[1])

@@ -24,8 +24,10 @@ def _stub_single_person_detect(extractor, box=(8.0, 8.0, 32.0, 40.0)):
 
     def fake_detect(params, frames_f32, frame_wh):
         B = frames_f32.shape[0]
+        boxes = jnp.tile(jnp.asarray([list(box)], jnp.float32), (B, 1))
         return (
-            jnp.tile(jnp.asarray([list(box)], jnp.float32), (B, 1)),
+            boxes,                  # mesh box
+            boxes,                  # pose box
             jnp.ones((B,), bool),   # exactly-one-person (mesh filter)
             jnp.ones((B,), bool),   # person-present (kp frame gate)
         )
@@ -183,7 +185,7 @@ def test_streamed_extraction_rejects_per_video(rng):
         boxes = jnp_.tile(jnp_.asarray([[8.0, 8.0, 32.0, 40.0]], jnp_.float32),
                           (B, 1))
         single = jnp_.mean(frames_f32, axis=(1, 2, 3)) > 1.0
-        return boxes, single, single
+        return boxes, boxes, single, single
 
     extractor._detect = detect_by_brightness
     good = rng.integers(50, 255, size=(10, 48, 40, 3)).astype(np.uint8)

@@ -319,6 +319,20 @@ def nms_xla(
     Returns (boxes [max_out, 4], scores [max_out], keep_mask [max_out]);
     suppressed/padded slots have score 0 and keep False.
     """
+    out_boxes, out_scores, out_keep, _ = nms_xla_indexed(
+        boxes, scores, iou_thresh, max_out
+    )
+    return out_boxes, out_scores, out_keep
+
+
+def nms_xla_indexed(
+    boxes: jnp.ndarray,   # [N, 4]
+    scores: jnp.ndarray,  # [N]
+    iou_thresh: float = 0.5,
+    max_out: int = 16,
+) -> T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`nms_xla` that also returns the ORIGINAL indices of the kept
+    boxes — callers carrying per-box side data (class ids) gather with it."""
     k = min(max_out * 4, boxes.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
@@ -335,7 +349,7 @@ def nms_xla(
     out_boxes = top_boxes[order]
     out_scores = jnp.where(keep[order], top_scores[order], 0.0)
     out_keep = keep[order]
-    return out_boxes, out_scores, out_keep
+    return out_boxes, out_scores, out_keep, top_idx[order]
 
 
 def person_detections(
@@ -355,6 +369,34 @@ def person_detections(
         return bb, ss, ok
 
     return jax.vmap(one)(raw["boxes"], scores)
+
+
+def dwpose_person_detections(
+    raw: T.Dict[str, jnp.ndarray],
+    prefilter_thresh: float = 0.1,
+    iou_thresh: float = 0.45,
+    max_out: int = 16,
+    person_class: int = 0,
+) -> T.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DWPose/Megvii onnxdet ``inference_detector`` postprocess, batched:
+    per location class = argmax(obj * cls); candidates with score > 0.1 go
+    through CLASS-AGNOSTIC NMS at IoU 0.45 (``multiclass_nms`` default).
+    Returns (boxes [B, max_out, 4], scores [B, max_out], person [B,
+    max_out]) in score-descending order (the published pipeline's box
+    order — its "first person" is the best-scoring one); the caller
+    applies its score rule (the published keypoint branch keeps
+    ``score > 0.3``, the mesh single-person filter ``> 0.5``)."""
+    cls_scores = raw["obj"][..., None] * raw["cls"]            # [B, N, C]
+    best_cls = jnp.argmax(cls_scores, axis=-1)                 # [B, N]
+    best_score = jnp.max(cls_scores, axis=-1)                  # [B, N]
+
+    def one(boxes, scores, classes):
+        s = jnp.where(scores > prefilter_thresh, scores, 0.0)
+        bb, ss, kk, idx = nms_xla_indexed(boxes, s, iou_thresh, max_out)
+        person = kk & (classes[idx] == person_class)
+        return bb, ss, person
+
+    return jax.vmap(one)(raw["boxes"], best_score, best_cls)
 
 
 def single_person_mask(valid: jnp.ndarray) -> jnp.ndarray:

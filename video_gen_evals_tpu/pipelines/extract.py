@@ -37,6 +37,7 @@ import numpy as np
 from ..models.detector import (
     DetectorConfig,
     YOLOXLiteDetector,
+    dwpose_person_detections,
     person_detections,
     single_person_mask,
 )
@@ -53,6 +54,12 @@ from ..ops.image import (
     batched_person_crops,
     crop_resize_matmul,
     resize_pil_matmul,
+)
+from ..ops.upstream_crops import (
+    dwpose_backmap,
+    dwpose_topdown_crop,
+    vitdet_mesh_crop,
+    yolox_letterbox,
 )
 from ..utils.io import ResumableLedger, save_video_npz
 
@@ -83,7 +90,30 @@ class ExtractorConfig:
     rcnn_frame_batch: int = 8
     det_score_thresh: float = 0.5
     min_single_ratio: float = 0.8
-    crop_scale: float = 1.2
+    # Input preprocessing provenance (round-4). "upstream" (default) feeds
+    # each net the EXACT published preprocessing its converted weights were
+    # trained/exported with (ops/upstream_crops.py): TokenHMR ViTDetDataset
+    # crops for the mesh net, the mmpose top-down warp + DWPose detector
+    # letterbox/class-agnostic-NMS/full-frame-fallback semantics for the
+    # keypoint branch. "legacy" keeps the round-1..3 home-grown geometry
+    # (crop_scale aspect-expand crops, ImageNet-normalized stretch-resize
+    # detector canvas) for continuity comparisons; it matches NO published
+    # weight pipeline — PARITY.md's box-sensitivity study is why that
+    # matters.
+    preproc: str = "upstream"
+    crop_scale: float = 1.2        # legacy-mode crop expansion only
+    vitdet_rescale: float = 2.5    # ViTDetDataset rescale_factor
+    vitdet_antialias: bool = True  # hmr2 gaussian pre-blur (df > 1.1)
+    pose_padding: float = 1.25     # mmpose bbox_xyxy2cs padding
+    # DWPose onnxdet thresholds: candidates > 0.1 pre-NMS, class-agnostic
+    # NMS 0.45, keypoint-branch person keep > 0.3
+    pose_det_prefilter: float = 0.1
+    pose_det_iou: float = 0.45
+    pose_det_score_thresh: float = 0.3
+    # onnxpose substitutes a full-frame box when no person is detected, so
+    # the reference NEVER drops a keypoint frame for lack of detection —
+    # the frame gets a full-frame pose instead
+    pose_fullframe_fallback: bool = True
     kp_bug_compat: bool = True   # drop invalid kp frames like the reference
     # Extraction numerics (PARITY.md round-3 extraction-precision study):
     # matmul class for every extraction stage (detector/ViT-H/head/pose) and
@@ -100,10 +130,31 @@ class ExtractorConfig:
     keep_all_frames: bool = False
 
     def __post_init__(self):
+        if self.preproc not in ("upstream", "legacy"):
+            raise ValueError(f"unknown preproc {self.preproc!r}")
         if self.rcnn is None:
             from ..models.rcnn import RCNNConfig
 
             self.rcnn = RCNNConfig.x101_32x8d()
+
+    @classmethod
+    def parity(cls, **kw) -> "ExtractorConfig":
+        """The reference-reproduction preset (one flag: ``--parity`` on the
+        extract CLI): Faster R-CNN X101-FPN mesh boxes with the exact
+        (non-``fast()``) RCNNConfig (ref ``mesh_generator.py:69-74``),
+        upstream preprocessing on every input path, the budget-measured
+        ``high`` matmul class (PARITY.md extraction-precision study), f32
+        params, and the reference's keypoint frame-dropping quirk."""
+        kw.setdefault("mesh_detector", "rcnn")
+        kw.setdefault("preproc", "upstream")
+        kw.setdefault("matmul_precision", "high")
+        kw.setdefault("param_dtype", "float32")
+        kw.setdefault("kp_bug_compat", True)
+        kw.setdefault("vitdet_antialias", True)
+        kw.setdefault("pose_fullframe_fallback", True)
+        # rcnn=None resolves to the exact RCNNConfig.x101_32x8d() in
+        # __post_init__ (NOT the fast() throughput preset)
+        return cls(**kw)
 
 
 class Extractor:
@@ -270,46 +321,100 @@ class Extractor:
                 out_shardings=_DP,
             )
 
+        upstream = cfg.preproc == "upstream"
+
         def detect(params, frames_f32, frame_wh):
           with jax.default_matmul_precision(prec):
-            # resize full frames to detector input (device-side)
-            W, H = frame_wh
-            full_box = jnp.stack([W / 2.0, H / 2.0, W, H])
-            det_in = jax.vmap(
-                lambda f: crop_resize_matmul(f, full_box, (dh, dw))
-            )(frames_f32)
-            det_in = (det_in - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
-            raw = self.detector.apply({"params": params}, det_in)
-            boxes, scores, valid = person_detections(
-                raw, score_thresh=cfg.det_score_thresh
-            )
-            # boxes are in detector-input coords; map back to frame coords
-            sx = W / dw
-            sy = H / dh
-            boxes = boxes * jnp.stack([sx, sy, sx, sy]).astype(boxes.dtype)
-            single = single_person_mask(valid)
-            present = jnp.any(valid, axis=-1)  # ref kp rule: >=1 person
-            # the single person's box (argmax score among valid)
-            best = jnp.argmax(jnp.where(valid, scores, -1.0), axis=-1)
-            box1 = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
-            return box1, single, present
+            B, H, W, _ = frames_f32.shape
+            if upstream:
+                # Megvii/DWPose letterbox canvas: aspect-preserving resize
+                # onto a 114-filled square, raw BGR 0..255, boxes mapped
+                # back by 1/ratio (ref dwpose onnxdet preprocess)
+                if dh != dw:
+                    raise ValueError("letterbox needs a square det input")
+                canvas, ratio = yolox_letterbox(frames_f32, size=dh)
+                raw = self.detector.apply({"params": params}, canvas)
+                boxes, scores, person = dwpose_person_detections(
+                    raw,
+                    prefilter_thresh=cfg.pose_det_prefilter,
+                    iou_thresh=cfg.pose_det_iou,
+                    max_out=cfg.det.max_detections,
+                )
+                boxes = boxes * jnp.float32(1.0 / ratio)
+                mesh_valid = person & (scores > cfg.det_score_thresh)
+                pose_valid = person & (scores > cfg.pose_det_score_thresh)
+            else:
+                # legacy canvas: ImageNet-normalized full-frame stretch
+                full_box = jnp.asarray(
+                    [W / 2.0, H / 2.0, float(W), float(H)], jnp.float32
+                )
+                det_in = jax.vmap(
+                    lambda f: crop_resize_matmul(f, full_box, (dh, dw))
+                )(frames_f32)
+                det_in = (det_in - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
+                raw = self.detector.apply({"params": params}, det_in)
+                boxes, scores, valid = person_detections(
+                    raw, score_thresh=cfg.det_score_thresh
+                )
+                boxes = boxes * jnp.asarray(
+                    [W / dw, H / dh, W / dw, H / dh], boxes.dtype
+                )
+                mesh_valid = pose_valid = valid
+            single = jnp.sum(mesh_valid.astype(jnp.int32), axis=-1) == 1
+            present = jnp.any(pose_valid, axis=-1)  # >=1 person this frame
+            best_m = jnp.argmax(jnp.where(mesh_valid, scores, -1.0), axis=-1)
+            box_mesh = jnp.take_along_axis(
+                boxes, best_m[:, None, None], axis=1
+            )[:, 0]
+            best_p = jnp.argmax(jnp.where(pose_valid, scores, -1.0), axis=-1)
+            box_pose = jnp.take_along_axis(
+                boxes, best_p[:, None, None], axis=1
+            )[:, 0]
+            if upstream and cfg.pose_fullframe_fallback:
+                # onnxpose: empty detection -> pose on [0, 0, W, H]
+                fb = jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32)
+                box_pose = jnp.where(present[:, None], box_pose, fb)
+            return box_mesh, box_pose, single, present
 
         def mesh_forward(params_vit, params_head, frames_f32, boxes_xyxy):
           with jax.default_matmul_precision(prec):
-            crops = batched_person_crops(
-                frames_f32,
-                boxes_xyxy,
-                out_hw=cfg.vit.img_size,
-                scale=cfg.crop_scale,
-                mean=jnp.asarray(_MEAN),
-                std=jnp.asarray(_STD),
-            )
+            if upstream:
+                crops = vitdet_mesh_crop(
+                    frames_f32,
+                    boxes_xyxy,
+                    out_hw=cfg.vit.img_size,
+                    rescale_factor=cfg.vitdet_rescale,
+                    antialias=cfg.vitdet_antialias,
+                )
+            else:
+                crops = batched_person_crops(
+                    frames_f32,
+                    boxes_xyxy,
+                    out_hw=cfg.vit.img_size,
+                    scale=cfg.crop_scale,
+                    mean=jnp.asarray(_MEAN),
+                    std=jnp.asarray(_STD),
+                )
             tokens, _fmap = self.backbone.apply({"params": params_vit}, crops)
             return self.head.apply({"params": params_head}, tokens)
 
         def pose_forward(params_pose, frames_f32, boxes_xyxy, frame_wh):
           with jax.default_matmul_precision(prec):
             ph, pw = cfg.pose.input_hw
+            if upstream:
+                crops, center, scale = dwpose_topdown_crop(
+                    frames_f32,
+                    boxes_xyxy,
+                    input_hw=(ph, pw),
+                    padding=cfg.pose_padding,
+                )
+                kps_crop, scores = self.pose_net.apply(
+                    {"params": params_pose}, crops
+                )
+                kps_frame = dwpose_backmap(
+                    kps_crop, center, scale, input_hw=(ph, pw)
+                )
+                return wholebody_to_openpose(kps_frame, scores)
             crops = batched_person_crops(
                 frames_f32,
                 boxes_xyxy,
@@ -462,6 +567,15 @@ class Extractor:
         return joined
 
     # ------------------------------------------------------------------
+    def _kp_frame_mask(self, valid, present) -> np.ndarray:
+        """Per-frame keypoint keep rule. With the upstream full-frame
+        fallback the reference NEVER drops a frame for lack of detection
+        (onnxpose substitutes the [0, 0, W, H] box); without it, the
+        legacy rule drops no-person frames."""
+        if self.cfg.preproc == "upstream" and self.cfg.pose_fullframe_fallback:
+            return np.asarray(valid)
+        return np.asarray(valid) & np.asarray(present)
+
     def _detect_stage(self, frames_f32, wh, with_keypoints):
         """(mesh boxes, pose boxes, single-person mask, person-present
         mask), all device-side.
@@ -483,18 +597,18 @@ class Extractor:
             )
             box_pose, present = None, None
             if with_keypoints:
-                box_pose, _, present = self._batched(
+                _, box_pose, _, present = self._batched(
                     lambda f: self._detect(self.params["det"], f, wh),
                     frames_f32,
                     fetch=False,
                 )
             return box_mesh, box_pose, single, present
-        box1, single, present = self._batched(
+        box_mesh, box_pose, single, present = self._batched(
             lambda f: self._detect(self.params["det"], f, wh),
             frames_f32,
             fetch=False,
         )
-        return box1, box1, single, present
+        return box_mesh, box_pose, single, present
 
     def _upload_frames(self, frames: np.ndarray) -> jnp.ndarray:
         """Host uint8 frames -> device f32, ONE transfer.
@@ -571,7 +685,7 @@ class Extractor:
         if not with_keypoints:
             return mesh, None
 
-        valid = np.asarray(valid) & np.asarray(present)
+        valid = self._kp_frame_mask(valid, present)
         if self.cfg.keep_all_frames:
             valid = np.ones_like(valid, dtype=bool)
         return mesh, {"kp120": np.asarray(kp120), "valid": valid}
@@ -660,7 +774,7 @@ class Extractor:
             )
             kp120, kvalid = self._kp_post(kps134, sc134, wh)
             kp120 = np.asarray(kp120)
-            kvalid = np.asarray(kvalid) & np.asarray(present)
+            kvalid = self._kp_frame_mask(kvalid, present)
 
         single_np = np.asarray(single)
         out = jax.tree_util.tree_map(np.asarray, out)
@@ -710,7 +824,7 @@ class Extractor:
         Tn, H, W, _ = frames.shape
         frames_f32 = self._upload_frames(frames)
         wh = (jnp.float32(W), jnp.float32(H))
-        box1, _single, present = self._batched(
+        _, box_pose, _single, present = self._batched(
             lambda f: self._detect(self.params["det"], f, wh),
             frames_f32,
             fetch=False,
@@ -718,14 +832,14 @@ class Extractor:
         kps134, sc134 = self._batched(
             lambda f, b: self._pose_forward(self.params["pose"], f, b, wh),
             frames_f32,
-            box1,
+            box_pose,
             fetch=False,
         )
 
         kp120, valid = self._kp_post(kps134, sc134, wh)
-        # per-frame drop rule = "no person detected" (ref process_video.py
-        # keeps every frame with >=1 person; visibility never gates)
-        valid = np.asarray(valid) & np.asarray(present)
+        # per-frame keep rule: see _kp_frame_mask (upstream mode keeps every
+        # frame via the full-frame fallback; visibility never gates)
+        valid = self._kp_frame_mask(valid, present)
         if self.cfg.keep_all_frames:
             valid = np.ones_like(valid, dtype=bool)
         return {"kp120": np.asarray(kp120), "valid": valid}
@@ -950,11 +1064,24 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
                         "(1 = per-video path)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="decode+upload threads running ahead (0 = off)")
+    p.add_argument("--parity", action="store_true",
+                   help="ONE-FLAG reference-reproduction preset "
+                        "(ExtractorConfig.parity()): R-CNN X101-FPN mesh "
+                        "boxes with the exact RCNNConfig, upstream-exact "
+                        "preprocessing on every input path, matmul 'high', "
+                        "f32 params, bug-compat on — overrides "
+                        "--mesh-detector/--rcnn-fast/--preproc")
     p.add_argument("--mesh-detector", choices=["yolox", "rcnn"], default="yolox",
                    help="mesh-path box provenance: 'rcnn' = Faster R-CNN "
                         "X101-FPN (the reference's detector family, ref "
                         "mesh_generator.py:69-74); 'yolox' = shared fast "
                         "detector (see PARITY.md box-sensitivity study)")
+    p.add_argument("--preproc", choices=["upstream", "legacy"], default="upstream",
+                   help="input preprocessing: 'upstream' (default) = the "
+                        "published pipelines the converted weights expect "
+                        "(ViTDetDataset crops / mmpose top-down warp / "
+                        "YOLOX letterbox); 'legacy' = rounds 1-3 home-grown "
+                        "geometry, for continuity comparison only")
     p.add_argument("--tokenhmr-ckpt", default=None,
                    help="TokenHMR checkpoint (tokenhmr_model_latest.ckpt / "
                         ".pt / .npz): ViT-H backbone + SMPL token head")
@@ -1009,10 +1136,19 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
         mesh = make_mesh(args.mesh_data, 1)
 
+    if args.parity:
+        if args.rcnn_fast:
+            p.error("--parity pins the exact RCNNConfig; drop --rcnn-fast")
+        ex_cfg = ExtractorConfig.parity(kp_bug_compat=args.bug_compat)
+    else:
+        ex_cfg = ExtractorConfig(
+            kp_bug_compat=args.bug_compat,
+            mesh_detector=args.mesh_detector,
+            preproc=args.preproc,
+            rcnn=RCNNConfig.fast() if args.rcnn_fast else None,
+        )
     ex = Extractor.from_checkpoints(
-        ExtractorConfig(kp_bug_compat=args.bug_compat,
-                        mesh_detector=args.mesh_detector,
-                        rcnn=RCNNConfig.fast() if args.rcnn_fast else None),
+        ex_cfg,
         mesh=mesh,
         tokenhmr=args.tokenhmr_ckpt,
         dwpose=args.dwpose_ckpt,
