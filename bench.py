@@ -50,6 +50,11 @@ from video_gen_evals_tpu.models.fusion_encoder import init_encoder
 
 DIMS_RAW = {"vit": 1024, "global": 9, "pose": 207, "beta": 10, "kp2d": 120}
 DIMS_DIFF = {"vit": 1024, "global": 3, "pose": 69, "beta": 10, "kp2d": 120}
+# the maximal 7-modality configuration (ref train.py:29-48: optional CLIP
+# 512-d + DINO 768-d in BOTH raw and diff maps) — select with
+# BENCH_DIMS=full or --full-dims; input_dim 2596 -> 5156
+DIMS_RAW_FULL = dict(DIMS_RAW, clip=512, dino=768)
+DIMS_DIFF_FULL = dict(DIMS_DIFF, clip=512, dino=768)
 CLIP_LEN = 32
 STRIDE = 8
 
@@ -112,7 +117,14 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "12"))
 
-    cfg = EncoderConfig.create(DIMS_RAW, DIMS_DIFF)
+    full_dims = (
+        os.environ.get("BENCH_DIMS", "flagship") == "full"
+        or "--full-dims" in sys.argv
+    )
+    cfg = EncoderConfig.create(
+        DIMS_RAW_FULL if full_dims else DIMS_RAW,
+        DIMS_DIFF_FULL if full_dims else DIMS_DIFF,
+    )
     model, params = init_encoder(cfg, jax.random.key(0), clip_len=CLIP_LEN)
     D = cfg.input_dim
     one_pass_raw = cfg.one_pass_raw

@@ -207,6 +207,80 @@ def main() -> None:
         ]:
             timed(tag, functools.partial(pool, **kw), boxes, *pyr)
 
+    # ------------- D: Pallas DMA + single-GEMM pool (round 4) -------------
+    if "dma" in parts:
+        from video_gen_evals_tpu.models.rcnn import RCNNConfig
+        from video_gen_evals_tpu.ops.roi_align import (
+            assign_fpn_levels,
+            pack_pyramid,
+            roi_align_pyramid,
+            roi_align_pyramid_dma,
+        )
+
+        cfg = RCNNConfig.x101_32x8d()
+        f = cfg.fpn_channels
+        CH, CW = 800, 1088
+        pyr = [
+            jnp.asarray(rng.normal(size=(CH // s, CW // s, f)).astype(np.float32))
+            for s in (4, 8, 16, 32)
+        ]
+        K = cfg.rpn_post_nms_topk
+        bx = rng.uniform(0, 1, size=(B, K, 4)).astype(np.float32)
+        boxes = np.stack([
+            bx[..., 0] * CW, bx[..., 1] * CH,
+            np.minimum(bx[..., 0] * CW + 30 + bx[..., 2] * 300, CW),
+            np.minimum(bx[..., 1] * CH + 30 + bx[..., 3] * 300, CH),
+        ], axis=-1).astype(np.float32)
+        boxes = jnp.asarray(boxes)
+
+        def pool_dma(bxs, *pyr_in, dtype, n, precision):
+            lv = assign_fpn_levels(bxs.reshape(-1, 4)).reshape(bxs.shape[:2])
+            pyr_c = [p.astype(dtype) for p in pyr_in]
+            buf, offs, hw = pack_pyramid(pyr_c)
+
+            def one(args):
+                bb, ll = args
+                return roi_align_pyramid_dma(
+                    buf, offs, hw, cfg.strides[:4], bb, ll,
+                    out_size=cfg.roi_resolution, window=cfg.roi_window,
+                    rois_per_step=n, precision=precision,
+                )
+
+            return jax.lax.map(one, (bxs, lv))
+
+        def pool_base(bxs, *pyr_in):
+            lv = assign_fpn_levels(bxs.reshape(-1, 4)).reshape(bxs.shape[:2])
+            buf, offs, hw = pack_pyramid(list(pyr_in))
+
+            def one(args):
+                bb, ll = args
+                return roi_align_pyramid(
+                    buf, offs, hw, cfg.strides[:4], bb, ll,
+                    out_size=cfg.roi_resolution, window=cfg.roi_window,
+                    chunk=cfg.roi_chunk,
+                )
+
+            return jax.lax.map(one, (bxs, lv))
+
+        base_ms = timed("roi_dma_baseline_matmul_f32", pool_base, boxes, *pyr)
+        hi = jax.lax.Precision.HIGHEST
+        df = jax.lax.Precision.DEFAULT   # Mosaic dots support DEFAULT/HIGHEST only
+        for tag, kw in [
+            ("roi_dma_f32_n1_highest", dict(dtype=jnp.float32, n=1, precision=hi)),
+            ("roi_dma_f32_n2_highest", dict(dtype=jnp.float32, n=2, precision=hi)),
+            ("roi_dma_f32_n1_default", dict(dtype=jnp.float32, n=1, precision=df)),
+            ("roi_dma_bf16_n1", dict(dtype=jnp.bfloat16, n=1, precision=df)),
+        ]:
+            timed(tag, functools.partial(pool_dma, **kw), boxes, *pyr)
+        # numeric agreement of the two impls ON CHIP (HIGHEST vs HIGHEST)
+        got = jax.jit(functools.partial(
+            pool_dma, dtype=jnp.float32, n=1, precision=hi
+        ))(boxes, *pyr)
+        want = jax.jit(pool_base)(boxes, *pyr)
+        d = float(jnp.max(jnp.abs(got - want)))
+        print(json.dumps({"tag": "roi_dma_vs_matmul_maxabs", "val": d}),
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

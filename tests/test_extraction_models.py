@@ -403,3 +403,32 @@ def test_dwpose_person_detections_score_order(rng):
     s = np.asarray(ss[0])
     assert s[0] >= s[1] >= s[2]
     np.testing.assert_allclose(np.asarray(bb[0, 0]), boxes[1])
+
+
+def test_vit_block_precision_schedule(rng):
+    """ViTConfig.block_precision: schedule-wrapped forward equals the plain
+    forward on CPU (f32 backend — precision classes are TPU-only effects)
+    and validates its length."""
+    import jax
+    from video_gen_evals_tpu.models.vit import ViTBackbone, ViTConfig
+
+    cfg = ViTConfig(img_size=(32, 24), patch_size=8, embed_dim=32, depth=2,
+                    num_heads=4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 24, 3)).astype(np.float32))
+    m0 = ViTBackbone(cfg)
+    params = m0.init(jax.random.key(0), x)["params"]
+    t0, _ = m0.apply({"params": params}, x)
+    m1 = ViTBackbone(
+        ViTConfig(img_size=(32, 24), patch_size=8, embed_dim=32, depth=2,
+                  num_heads=4, block_precision=("default", "high"))
+    )
+    t1, _ = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=1e-6)
+
+    bad = ViTBackbone(
+        ViTConfig(img_size=(32, 24), patch_size=8, embed_dim=32, depth=2,
+                  num_heads=4, block_precision=("high",))
+    )
+    import pytest
+    with pytest.raises(ValueError, match="block_precision"):
+        bad.init(jax.random.key(0), x)

@@ -134,3 +134,67 @@ def test_oracle_degenerate_box_zero(aligned):
         feat, np.array([[8, 8, 8, 8]], np.float32), 4.0, aligned=aligned
     )
     assert np.all(out == 0)
+
+
+def test_dma_pool_matches_matmul_pool_and_reference():
+    """roi_align_pyramid_dma (Pallas burst-DMA + single-GEMM form) ==
+    the XLA matmul pool AND the CUDA-transcription oracle, interpret mode.
+    Same _axis_weights math; only dot-order rounding differs."""
+    from video_gen_evals_tpu.ops.roi_align import roi_align_pyramid_dma
+
+    rng = np.random.default_rng(3)
+    feats = _pyramid(rng, (160, 224), C=8)
+    buf, offs, hw = pack_pyramid([jnp.asarray(f) for f in feats])
+    levels = assign_fpn_levels(jnp.asarray(BOXES))
+    base = np.asarray(
+        roi_align_pyramid(
+            buf, offs, hw, STRIDES, jnp.asarray(BOXES), levels, chunk=4
+        )
+    )
+    for n in (1, 3):
+        got = np.asarray(
+            roi_align_pyramid_dma(
+                buf, offs, hw, STRIDES, jnp.asarray(BOXES), levels,
+                rois_per_step=n, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, base, atol=1e-4)
+    got = np.asarray(
+        roi_align_pyramid_dma(
+            buf, offs, hw, STRIDES, jnp.asarray(BOXES), levels,
+            rois_per_step=1, interpret=True,
+        )
+    )
+    for r in range(len(BOXES)):
+        lvl = int(levels[r])
+        want = roi_align_reference(feats[lvl], BOXES[r : r + 1], STRIDES[lvl])
+        assert np.abs(got[r] - want[0]).max() < 1e-4, r
+
+
+def test_dma_pool_small_levels_and_bf16():
+    """Tiny pyramid (levels smaller than the window) + bf16 buffer path."""
+    from video_gen_evals_tpu.ops.roi_align import roi_align_pyramid_dma
+
+    rng = np.random.default_rng(4)
+    feats = _pyramid(rng, (48, 80), C=4)
+    boxes = np.array([[2, 2, 30, 40], [10, 5, 46, 70]], np.float32)
+    buf, offs, hw = pack_pyramid([jnp.asarray(f) for f in feats])
+    levels = assign_fpn_levels(jnp.asarray(boxes))
+    base = np.asarray(
+        roi_align_pyramid(
+            buf, offs, hw, STRIDES, jnp.asarray(boxes), levels, chunk=2
+        )
+    )
+    got = np.asarray(
+        roi_align_pyramid_dma(
+            buf, offs, hw, STRIDES, jnp.asarray(boxes), levels, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, base, atol=1e-4)
+    got_bf = np.asarray(
+        roi_align_pyramid_dma(
+            buf.astype(jnp.bfloat16), offs, hw, STRIDES, jnp.asarray(boxes),
+            levels, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got_bf, base, atol=0.02, rtol=0.02)

@@ -86,6 +86,13 @@ class RCNNConfig:
     second_stage_candidates: int = 1000
     roi_window: int = 48
     roi_chunk: int = 128
+    # ROIAlign pool implementation: "matmul" = XLA separable-dot form;
+    # "dma" = Pallas burst-DMA + single-GEMM form (ops/roi_align.py::
+    # roi_align_pyramid_dma) — identical _axis_weights math, restructured
+    # to kill the M=7/K=48 MXU tile padding that dominates the pool's cost
+    # (BENCH_NOTES round 4).
+    roi_impl: str = "matmul"
+    roi_rois_per_step: int = 1
     # packed-pyramid buffer dtype for ROIAlign: the pool is slice-traffic
     # bound (probe_rcnn_levers: f32 175 ms -> bf16 106 ms /8 frames), but
     # bf16 perturbs pooled features ~4e-3 relative — exact f32 stays the
@@ -552,6 +559,14 @@ class FasterRCNN(nn.Module):
         def one_image(args):
             fs, boxes, lv = args
             buf, offs, hw = pack_pyramid([f.astype(roi_dt) for f in fs])
+            if cfg.roi_impl == "dma":
+                from ..ops.roi_align import roi_align_pyramid_dma
+
+                return roi_align_pyramid_dma(
+                    buf, offs, hw, cfg.strides[:4], boxes, lv,
+                    out_size=cfg.roi_resolution, window=cfg.roi_window,
+                    rois_per_step=cfg.roi_rois_per_step,
+                )
             return roi_align_pyramid(
                 buf, offs, hw, cfg.strides[:4], boxes, lv,
                 out_size=cfg.roi_resolution, window=cfg.roi_window,

@@ -40,6 +40,10 @@ class ViTConfig:
     use_cls_token: bool = False
     final_norm: bool = True
     attention_impl: str = "xla"   # "xla" | "pallas" | "pallas_interpret"
+    # optional per-block matmul precision schedule (len == depth), e.g.
+    # ("default",)*24 + ("high",)*8 — mixed-precision extraction
+    # (PARITY.md round-4 study); None = inherit the stage-wide class
+    block_precision: T.Optional[T.Tuple[str, ...]] = None
 
     @property
     def grid(self) -> T.Tuple[int, int]:
@@ -137,6 +141,11 @@ class ViTBackbone(nn.Module):
         """``x``: [B, H, W, 3] normalized crops ->
         (tokens [B, h*w, C], feature map [B, C, h, w])."""
         cfg = self.config
+        if cfg.block_precision is not None and len(cfg.block_precision) != cfg.depth:
+            raise ValueError(
+                f"block_precision needs {cfg.depth} entries, got "
+                f"{len(cfg.block_precision)}"
+            )
         p = cfg.patch_size
         x = nn.Conv(
             cfg.embed_dim, kernel_size=(p, p), strides=(p, p), name="patch_embed"
@@ -155,13 +164,21 @@ class ViTBackbone(nn.Module):
             )
         tokens = tokens + pos.astype(tokens.dtype)
         for i in range(cfg.depth):
-            tokens = ViTBlock(
+            blk = ViTBlock(
                 cfg.embed_dim,
                 cfg.num_heads,
                 cfg.mlp_ratio,
                 attention_impl=cfg.attention_impl,
                 name=f"block{i}",
-            )(tokens)
+            )
+            if cfg.block_precision is not None:
+                # per-block matmul class (mixed-precision extraction,
+                # PARITY.md round-4 study): the inner context overrides the
+                # extractor's stage-wide default_matmul_precision
+                with jax.default_matmul_precision(cfg.block_precision[i]):
+                    tokens = blk(tokens)
+            else:
+                tokens = blk(tokens)
         if cfg.final_norm:
             tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
         if cfg.use_cls_token:

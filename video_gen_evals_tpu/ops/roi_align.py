@@ -45,18 +45,23 @@ import typing as T
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def pack_pyramid(
     feats: T.Sequence[jnp.ndarray],  # per level [H_l, W_l, C]
 ) -> T.Tuple[jnp.ndarray, T.Tuple[int, ...], T.Tuple[T.Tuple[int, int], ...]]:
-    """Stack pyramid levels along rows (cols zero-padded to the widest).
+    """Stack pyramid levels along rows (cols zero-padded to the widest,
+    rounded up to the 8-sublane tile so the DMA pool's aligned column
+    windows always fit).
 
-    Returns ``(buffer [sum(H_l), max(W_l), C], row_offsets, level_hw)``.
-    The padding content is never read: interpolation weights only address
-    cells inside each level's true extent.
+    Returns ``(buffer [sum(H_l), ceil8(max(W_l)), C], row_offsets,
+    level_hw)``. The padding content is never read: interpolation weights
+    only address cells inside each level's true extent.
     """
     wmax = max(f.shape[1] for f in feats)
+    wmax += (-wmax) % 8
     offs, rows = [], 0
     padded = []
     for f in feats:
@@ -175,6 +180,168 @@ def roi_align_pyramid(
     out = jax.lax.map(lambda bl: jax.vmap(one)(bl[0], bl[1]), (boxes_c, levels_c))
     out = out.reshape(-1, out_size, out_size, C)
     return out[:R]
+
+
+def _pool_dma_kernel(
+    wy0_ref, wx0_ref, buf_ref, wyx_ref, out_ref, win, sems,
+    *, n: int, window: int, window_x: int, n_steps: int, precision,
+):
+    """One grid step = ``n`` ROIs: double-buffered window DMAs (start step
+    i+1's copies before computing step i's) and ONE dense dot per ROI."""
+    i = pl.program_id(0)
+
+    def start(step, slot):
+        for j in range(n):
+            yo = wy0_ref[step * n + j]
+            xo = pl.multiple_of(wx0_ref[step * n + j], 8)
+            pltpu.make_async_copy(
+                buf_ref.at[pl.ds(yo, window), pl.ds(xo, window_x), :],
+                win.at[slot, j],
+                sems.at[slot, j],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        start(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    for j in range(n):
+        yo = wy0_ref[i * n + j]
+        xo = pl.multiple_of(wx0_ref[i * n + j], 8)
+        pltpu.make_async_copy(
+            buf_ref.at[pl.ds(yo, window), pl.ds(xo, window_x), :],
+            win.at[slot, j],
+            sems.at[slot, j],
+        ).wait()
+        w = win[slot, j]
+        w2 = w.reshape(window * window_x, w.shape[-1])
+        out_ref[j] = jax.lax.dot_general(
+            wyx_ref[j], w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(out_ref.dtype)
+
+
+def roi_align_pyramid_dma(
+    buffer: jnp.ndarray,                       # [sumH, Wmax8, C] packed pyramid
+    row_offsets: T.Tuple[int, ...],
+    level_hw: T.Tuple[T.Tuple[int, int], ...],
+    strides: T.Tuple[int, ...],
+    boxes: jnp.ndarray,                        # [R, 4] xyxy, image coords
+    levels: jnp.ndarray,                       # [R] int in [0, L)
+    out_size: int = 7,
+    window: int = 48,
+    window_x: T.Optional[int] = None,
+    max_samples: int = 8,
+    rois_per_step: int = 1,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`roi_align_pyramid` as a Pallas DMA + single-GEMM kernel.
+
+    Two restructurings versus the XLA matmul pool (which BENCH_NOTES
+    round-3 measured at 175 ms per 8x1000 ROIs, f32):
+
+    1. **Burst window DMA**: each ROI's ``[window, window_x, C]`` slice is
+       an explicit double-buffered HBM->VMEM copy (column starts 8-aligned,
+       ``window_x`` carries +8 slack so alignment never loses coverage) —
+       replacing XLA ``dynamic_slice`` realignment copies, and overlapping
+       the next ROI's fetch with the current ROI's compute.
+    2. **One dense dot per ROI**: the separable ``[7,48] @ [48, 56*C]``
+       then ``[7,56]`` contractions waste the MXU on M=7/K=48 tile padding
+       (2% utilization — the real reason the pool is slow). Precomputing
+       the outer-product weights ``Wyx[pq, hw] = Wy[p,h]*Wx[q,w]`` (one
+       XLA einsum, K = window*window_x = 21 full lane tiles) turns the
+       pool into ``[49, 2688] @ [2688, C]`` — fully dense K, ~3x less
+       executed MXU work despite 7x more nominal FLOPs.
+
+    Weight math is IDENTICAL to the matmul pool (same ``_axis_weights``),
+    so results match it bit-for-bit up to dot-order rounding; exactness vs
+    the CUDA-transcription oracle is inherited (same sampling semantics,
+    wider-or-equal x window).
+    """
+    import functools
+
+    bufh, bufw, C = buffer.shape
+    window = min(window, bufh)
+    if window_x is None:
+        window_x = window + 8
+    window_x = min(window_x, bufw - bufw % 8)
+    if window_x <= 0 or bufw % 8:
+        raise ValueError(
+            f"buffer cols {bufw} must be 8-padded (pack_pyramid does this)"
+        )
+    offs = jnp.asarray(row_offsets, jnp.int32)
+    hs = jnp.asarray([h for h, _ in level_hw], jnp.int32)
+    ws = jnp.asarray([w for _, w in level_hw], jnp.int32)
+    strides_arr = jnp.asarray(strides, jnp.float32)
+    osq = out_size * out_size
+
+    def geom(box, lvl):
+        stride = strides_arr[lvl]
+        H_l, W_l, off = hs[lvl], ws[lvl], offs[lvl]
+        x0 = box[0] / stride - 0.5
+        y0 = box[1] / stride - 0.5
+        lx = (box[2] - box[0]) / stride
+        ly = (box[3] - box[1]) / stride
+        wy0 = jnp.clip(
+            jnp.floor(y0).astype(jnp.int32), 0, jnp.maximum(H_l - window, 0)
+        ) + off
+        wy0 = jnp.clip(wy0, 0, bufh - window)
+        wx0 = jnp.clip(
+            jnp.floor(x0).astype(jnp.int32), 0, jnp.maximum(W_l - window_x, 0)
+        )
+        wx0 = (wx0 // 8) * 8                    # sublane-aligned DMA start
+        wx0 = jnp.clip(wx0, 0, bufw - window_x)
+        Wy = _axis_weights(y0, ly, H_l, wy0 - off, out_size, window, max_samples)
+        Wx = _axis_weights(x0, lx, W_l, wx0, out_size, window_x, max_samples)
+        return wy0, wx0, Wy, Wx
+
+    R = boxes.shape[0]
+    n = rois_per_step
+    pad = (-R) % n
+    boxes_p = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)]) if pad else boxes
+    levels_p = jnp.concatenate([levels, jnp.zeros((pad,), levels.dtype)]) if pad else levels
+    wy0, wx0, Wy, Wx = jax.vmap(geom)(boxes_p, levels_p)
+    # combined outer-product weights: [R, out^2, window*window_x]
+    wyx = jnp.einsum("rph,rqw->rpqhw", Wy, Wx).reshape(
+        R + pad, osq, window * window_x
+    )
+
+    n_steps = (R + pad) // n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (n, osq, window * window_x),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, osq, C), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n, window, window_x, C), buffer.dtype),
+            pltpu.SemaphoreType.DMA((2, n)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _pool_dma_kernel,
+            n=n, window=window, window_x=window_x, n_steps=n_steps,
+            precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R + pad, osq, C), jnp.float32),
+        interpret=interpret,
+    )(wy0.astype(jnp.int32), wx0.astype(jnp.int32), buffer, wyx)
+    return out[:R].reshape(R, out_size, out_size, C)
 
 
 def assign_fpn_levels(
