@@ -55,11 +55,13 @@ def main() -> None:
             else RCNNConfig.x101_32x8d()
         )
         width = int(os.environ.get("BENCH_WIDTH", base.grouped_conv_width))
+        roi_impl = os.environ.get("BENCH_ROI", base.roi_impl)
         ex = Extractor(
             ExtractorConfig(
                 mesh_detector="rcnn",
                 rcnn=dataclasses.replace(
-                    base, grouped_conv_impl=impl, grouped_conv_width=width
+                    base, grouped_conv_impl=impl, grouped_conv_width=width,
+                    roi_impl=roi_impl,
                 ),
                 matmul_precision=prec,
                 keep_all_frames=True,
@@ -92,6 +94,7 @@ def main() -> None:
                     {
                         "prec": prec,
                         "impl": impl,
+                        "roi_impl": roi_impl,
                         "batch": B,
                         "ms_per_batch": round(ms, 2),
                         "frames_per_sec": round(B / ms * 1e3, 1),

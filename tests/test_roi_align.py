@@ -198,3 +198,31 @@ def test_dma_pool_small_levels_and_bf16():
         )
     )
     np.testing.assert_allclose(got_bf, base, atol=0.02, rtol=0.02)
+
+
+def test_dma_pool_right_edge_mid_level():
+    """Regression (found on-chip): a box near the RIGHT edge of a mid-width
+    level (floor(x0) > W_l - window_x) must still be covered — the x window
+    may extend past the level width (zero-weight padding), so it clips only
+    to the buffer, never left of the box."""
+    from video_gen_evals_tpu.ops.roi_align import roi_align_pyramid_dma
+
+    rng = np.random.default_rng(6)
+    feats = _pyramid(rng, (256, 272), C=8)      # p2 = 64x68 (stride 4)
+    boxes = np.array([[240.0, 20.0, 268.0, 120.0]], np.float32)
+    buf, offs, hw = pack_pyramid([jnp.asarray(f) for f in feats])
+    levels = assign_fpn_levels(jnp.asarray(boxes))
+    assert int(levels[0]) == 0                   # stride 4: x taps 59..67
+    base = np.asarray(
+        roi_align_pyramid(
+            buf, offs, hw, STRIDES, jnp.asarray(boxes), levels, chunk=1
+        )
+    )
+    got = np.asarray(
+        roi_align_pyramid_dma(
+            buf, offs, hw, STRIDES, jnp.asarray(boxes), levels, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, base, atol=1e-4)
+    want = roi_align_reference(feats[0], boxes, STRIDES[0])
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -291,9 +291,10 @@ def roi_align_pyramid_dma(
             jnp.floor(y0).astype(jnp.int32), 0, jnp.maximum(H_l - window, 0)
         ) + off
         wy0 = jnp.clip(wy0, 0, bufh - window)
-        wx0 = jnp.clip(
-            jnp.floor(x0).astype(jnp.int32), 0, jnp.maximum(W_l - window_x, 0)
-        )
+        # x window: clip only to the BUFFER (cols beyond W_l are zero-weight
+        # level padding, safe to cover) — clipping to the level width would
+        # pin the window left of right-edge boxes on mid-width levels
+        wx0 = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, bufw)
         wx0 = (wx0 // 8) * 8                    # sublane-aligned DMA start
         wx0 = jnp.clip(wx0, 0, bufw - window_x)
         Wy = _axis_weights(y0, ly, H_l, wy0 - off, out_size, window, max_samples)

@@ -13,12 +13,15 @@ reference (per video):                      this pipeline (per video):
   frames silently dropped                     fixed shapes + validity masks,
                                               compacted only at npz-write time
 
-Filtering semantics are exact: a frame is kept iff exactly one person box
-scores > 0.5 (ref ``mesh_generator.py:103-111``); the video is rejected if
-< 80% of frames qualify (ref ``:113-117``); keypoints keep only frames
-passing the 18-body+both-hands rule (ref ``process_video.py:23-57``) in
-bug-compat mode (the reference's mesh/kp misalignment), or all frames with a
-mask otherwise.
+Filtering semantics are exact: a mesh frame is kept iff exactly one person
+box scores > 0.5 (ref ``mesh_generator.py:103-111``); the video is rejected
+if < 80% of frames qualify (ref ``:113-117``). The keypoint branch follows
+DWPose's published semantics (upstream mode): person boxes at score > 0.3
+after class-agnostic NMS, and a FULL-FRAME fallback box when nothing is
+detected — so no frame is dropped for lack of detection (the reference's
+18-body+both-hands rule, ref ``process_video.py:23-57``, is structurally
+always satisfied once a pose exists). Input preprocessing is upstream-exact
+by default (``ops/upstream_crops.py``; see ExtractorConfig.preproc).
 
 Extraction is resumable via per-action JSON ledgers (ref
 ``extract_mesh.py:121-194``).
