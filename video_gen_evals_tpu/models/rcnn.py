@@ -89,9 +89,12 @@ class RCNNConfig:
     # ROIAlign pool implementation: "matmul" = XLA separable-dot form;
     # "dma" = Pallas burst-DMA + single-GEMM form (ops/roi_align.py::
     # roi_align_pyramid_dma) — identical _axis_weights math, restructured
-    # to kill the M=7/K=48 MXU tile padding that dominates the pool's cost
-    # (BENCH_NOTES round 4).
-    roi_impl: str = "matmul"
+    # to kill the M=7/K=48 MXU tile padding that dominates the pool's cost.
+    # "auto" (default) = dma on TPU (measured 64 vs 175 ms per 8x1000 f32
+    # ROIs; full exact detect stage 29.9 vs 18.4 frames/s — BENCH_NOTES
+    # round 4; on-chip agreement 4.8e-7 for every in-span ROI), matmul
+    # elsewhere (the Pallas kernel needs the Mosaic backend).
+    roi_impl: str = "auto"
     roi_rois_per_step: int = 1
     # packed-pyramid buffer dtype for ROIAlign: the pool is slice-traffic
     # bound (probe_rcnn_levers: f32 175 ms -> bf16 106 ms /8 frames), but
@@ -556,10 +559,14 @@ class FasterRCNN(nn.Module):
 
         roi_dt = jnp.dtype(cfg.roi_dtype)
 
+        roi_impl = cfg.roi_impl
+        if roi_impl == "auto":
+            roi_impl = "dma" if jax.default_backend() == "tpu" else "matmul"
+
         def one_image(args):
             fs, boxes, lv = args
             buf, offs, hw = pack_pyramid([f.astype(roi_dt) for f in fs])
-            if cfg.roi_impl == "dma":
+            if roi_impl == "dma":
                 from ..ops.roi_align import roi_align_pyramid_dma
 
                 return roi_align_pyramid_dma(

@@ -1119,6 +1119,8 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
 
     from ..models.rcnn import RCNNConfig
 
+    if args.parity and args.rcnn_fast:
+        p.error("--parity pins the exact RCNNConfig; drop --rcnn-fast")
     if args.rcnn_fast and args.mesh_detector != "rcnn" and not args.rcnn_ckpt:
         p.error("--rcnn-fast requires the R-CNN mesh detector "
                 "(--mesh-detector rcnn or --rcnn-ckpt)")
