@@ -79,9 +79,19 @@ def main() -> None:
                    help="after the timed passes, time each stage with "
                         "completion barriers (distorts pipelining; for "
                         "diagnosis only)")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-reproduction preset "
+                        "(ExtractorConfig.parity(): R-CNN mesh detector, "
+                        "upstream crops, 'high' matmuls, exact RCNNConfig)")
     args = p.parse_args()
     if args.rcnn_fast and args.mesh_detector != "rcnn":
         p.error("--rcnn-fast requires --mesh-detector rcnn")
+    if args.parity:
+        if args.rcnn_fast:
+            p.error("--parity pins the exact RCNNConfig; drop --rcnn-fast")
+        if args.bf16:
+            p.error("--parity pins f32 params; drop --bf16")
+        args.mesh_detector = "rcnn"
     H, W = (int(x) for x in args.hw.split("x"))
 
     import jax
@@ -101,12 +111,18 @@ def main() -> None:
     # the benchmark must measure the full compute path
     from video_gen_evals_tpu.models.rcnn import RCNNConfig
 
-    ex_cfg = ExtractorConfig(
-        vit=ViTConfig(depth=args.vit_depth),
-        keep_all_frames=True,
-        mesh_detector=args.mesh_detector,
-        rcnn=RCNNConfig.fast() if args.rcnn_fast else None,
-    )
+    if args.parity:
+        ex_cfg = ExtractorConfig.parity(
+            vit=ViTConfig(depth=args.vit_depth),
+            keep_all_frames=True,
+        )
+    else:
+        ex_cfg = ExtractorConfig(
+            vit=ViTConfig(depth=args.vit_depth),
+            keep_all_frames=True,
+            mesh_detector=args.mesh_detector,
+            rcnn=RCNNConfig.fast() if args.rcnn_fast else None,
+        )
     extractor = Extractor(ex_cfg)
     if args.bf16:
         extractor.params = jax.tree_util.tree_map(

@@ -97,6 +97,16 @@ def test_run_tree_resumable(extractor, rng, tmp_path):
     assert counts2["skipped"] == 4
     assert counts2["single"] == counts2["not_single"] == counts2["errors"] == 0
 
+    # provenance record: every run publishes its score-affecting knobs
+    import json
+
+    with open(os.path.join(logs, "RUN_CONFIG.json")) as f:
+        rc = json.load(f)
+    assert rc["parity"] is False  # tiny fixture = yolox fast mode
+    assert rc["mesh_detector"] == "yolox"
+    assert rc["preproc"] == "upstream"
+    assert "roi_dtype" in rc["rcnn"]
+
 
 def test_run_tree_multi_host_shards_cover_tree(extractor, rng, tmp_path):
     """Multi-pod extraction (SURVEY §5.8): three hosts with disjoint strided
@@ -349,6 +359,17 @@ def test_parity_preset_knobs():
             cfg.pose_det_score_thresh) == (0.1, 0.45, 0.3)
     # overrides still thread through
     assert ExtractorConfig.parity(frame_batch=16).frame_batch == 16
+    # provenance predicate: the preset IS parity; every fast-mode knob
+    # flips it off
+    assert cfg.is_parity()
+    assert ExtractorConfig.parity(matmul_precision="highest").is_parity()
+    assert not ExtractorConfig().is_parity()                    # yolox mode
+    assert not ExtractorConfig.parity(preproc="legacy").is_parity()
+    assert not ExtractorConfig.parity(param_dtype="bfloat16").is_parity()
+    assert not ExtractorConfig.parity(
+        rcnn=RCNNConfig.fast()).is_parity()
+    assert not ExtractorConfig.parity(
+        matmul_precision="default").is_parity()
 
 
 def test_pose_fullframe_fallback_keeps_frames(rng):

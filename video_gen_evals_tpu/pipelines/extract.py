@@ -30,6 +30,7 @@ Extraction is resumable via per-action JSON ledgers (ref
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import typing as T
 
@@ -158,6 +159,25 @@ class ExtractorConfig:
         # rcnn=None resolves to the exact RCNNConfig.x101_32x8d() in
         # __post_init__ (NOT the fast() throughput preset)
         return cls(**kw)
+
+    def is_parity(self) -> bool:
+        """True iff this config is the reference-reproduction configuration
+        (every knob that changes score provenance matches :meth:`parity`;
+        ``matmul_precision`` may also be the stricter ``highest``).
+        Recorded in each extraction run's ``RUN_CONFIG`` provenance file so
+        downstream consumers can tell parity features from fast-mode ones."""
+        from ..models.rcnn import RCNNConfig
+
+        return (
+            self.mesh_detector == "rcnn"
+            and self.preproc == "upstream"
+            and self.matmul_precision in ("high", "highest")
+            and self.param_dtype == "float32"
+            and self.kp_bug_compat
+            and self.vitdet_antialias
+            and self.pose_fullframe_fallback
+            and self.rcnn == RCNNConfig.x101_32x8d()
+        )
 
 
 class Extractor:
@@ -848,6 +868,42 @@ class Extractor:
         return {"kp120": np.asarray(kp120), "valid": valid}
 
     # ------------------------------------------------------------------
+    def _write_run_config(self, log_dir: str, num_hosts: int = 1,
+                          host_id: int = 0) -> str:
+        """Publish the run's score-provenance knobs to
+        ``<log_dir>/RUN_CONFIG[.hostIofN].json`` (atomic, per-host).
+
+        The reference records nothing about how features were produced; the
+        box-sensitivity study (PARITY.md) shows detector family and crop
+        preprocessing ARE part of the feature definition, so each extraction
+        run records them — a downstream scorer (or a later resume with a
+        different config) can tell reference-parity features from fast-mode
+        ones instead of silently mixing provenances."""
+        cfg = self.cfg
+        name = (
+            f"RUN_CONFIG.host{host_id}of{num_hosts}.json"
+            if num_hosts > 1 else "RUN_CONFIG.json"
+        )
+        os.makedirs(log_dir, exist_ok=True)
+        path = os.path.join(log_dir, name)
+        payload = {
+            "parity": cfg.is_parity(),
+            "mesh_detector": cfg.mesh_detector,
+            "preproc": cfg.preproc,
+            "matmul_precision": cfg.matmul_precision,
+            "param_dtype": cfg.param_dtype,
+            "kp_bug_compat": cfg.kp_bug_compat,
+            "vitdet_antialias": cfg.vitdet_antialias,
+            "pose_fullframe_fallback": cfg.pose_fullframe_fallback,
+            "rcnn": dataclasses.asdict(cfg.rcnn),
+            "keep_all_frames": cfg.keep_all_frames,
+        }
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)
+        return path
+
     def run_tree(
         self,
         video_tree: str,
@@ -889,6 +945,7 @@ class Extractor:
 
         from ..utils.io import load_all_frames
 
+        self._write_run_config(log_dir, num_hosts=num_hosts, host_id=host_id)
         loader = frame_loader or load_all_frames
 
         def load_and_upload(path):
@@ -1151,6 +1208,20 @@ def main(argv: T.Optional[T.List[str]] = None) -> None:
             mesh_detector=args.mesh_detector,
             preproc=args.preproc,
             rcnn=RCNNConfig.fast() if args.rcnn_fast else None,
+        )
+    if not ex_cfg.is_parity():
+        # loud, once, on stderr: fast-mode features are NOT the reference's
+        # feature definition (PARITY.md box-sensitivity study); the one-flag
+        # fix is --parity. Provenance is also recorded in RUN_CONFIG.json.
+        import sys as _sys
+
+        print(
+            "[extract] throughput mode (mesh boxes: "
+            f"{ex_cfg.mesh_detector}, preproc: {ex_cfg.preproc}) — NOT the "
+            "reference-reproduction configuration; pass --parity to "
+            "reproduce reference scores (provenance recorded in "
+            f"{args.log_dir}/RUN_CONFIG.json)",
+            file=_sys.stderr,
         )
     ex = Extractor.from_checkpoints(
         ex_cfg,
