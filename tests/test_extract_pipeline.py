@@ -147,6 +147,10 @@ def test_run_tree_multi_host_shards_cover_tree(extractor, rng, tmp_path):
     assert all(c["skipped"] == 0 for c in counts)
     assert produced_set(sharded_meshes) == produced_set(single_meshes)
 
+    # per-host provenance records (never clobber each other in a shared dir)
+    for i in range(3):
+        assert os.path.exists(os.path.join(logs, f"RUN_CONFIG.host{i}of3.json"))
+
     # per-host ledger files exist and partition the videos disjointly
     import json
 
