@@ -79,6 +79,11 @@ def main() -> None:
                    help="after the timed passes, time each stage with "
                         "completion barriers (distorts pipelining; for "
                         "diagnosis only)")
+    p.add_argument("--preproc", choices=["upstream", "legacy"],
+                   default="upstream",
+                   help="input-preprocessing provenance (extract CLI flag "
+                        "mirror): A/B the round-4 upstream-exact warps vs "
+                        "the rounds-1-3 geometry")
     p.add_argument("--parity", action="store_true",
                    help="reference-reproduction preset "
                         "(ExtractorConfig.parity(): R-CNN mesh detector, "
@@ -121,6 +126,7 @@ def main() -> None:
             vit=ViTConfig(depth=args.vit_depth),
             keep_all_frames=True,
             mesh_detector=args.mesh_detector,
+            preproc=args.preproc,
             rcnn=RCNNConfig.fast() if args.rcnn_fast else None,
         )
     extractor = Extractor(ex_cfg)
@@ -277,6 +283,7 @@ def main() -> None:
                 "vit_depth": args.vit_depth,
                 "mesh_detector": args.mesh_detector
                 + ("-fast" if args.rcnn_fast else ""),
+                "preproc": ex_cfg.preproc,
                 "dtype": "bfloat16" if args.bf16 else "float32",
                 "decode_included": not args.no_decode,
                 "native_decode": native_available(),
