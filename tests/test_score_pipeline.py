@@ -242,6 +242,140 @@ def test_window_encoder_mesh_matches_single_device(env):
         WindowEncoder(model, params, 12, 16, mesh=make_mesh(n_data=8, n_model=1))
 
 
+def test_encode_bank_segsum_matches_one_shot_reducers(env):
+    """encode_bank_segsum (per-batch device-side segment accumulation, the
+    no-host-round-trip scoring path) agrees with encode_bank + the one-shot
+    reducers for both segmentations — per-video scoring and per-class
+    centroids — including a padded tail batch and an empty segment (NaN
+    centroid semantics, ref ``utils.py:1018-1045``)."""
+    from video_gen_evals_tpu.data import (
+        build_feature_bank,
+        compute_stats,
+        enumerate_windows,
+        scan_class_tree,
+        train_test_split,
+    )
+    from video_gen_evals_tpu.metrics.scores import (
+        build_centroids,
+        finalize_centroids,
+        finalize_video_scores,
+        video_ac_scores,
+        video_tc_scores,
+    )
+    from video_gen_evals_tpu.pipelines.score import WindowEncoder
+    import jax.numpy as jnp
+
+    root, mesh_root, kp_root, *_ = env
+    manifest = scan_class_tree(mesh_root)
+    train_ds, _ = train_test_split(manifest, 0.8, seed=1337)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    stats = compute_stats(train_ds.items, paths)
+    bank = build_feature_bank(train_ds.items, paths, stats, min_rows=24)
+    windows = enumerate_windows(train_ds, 16, 8)
+    assert len(windows) % 16 != 0  # exercises the masked tail batch
+
+    cfg = EncoderConfig.create(
+        stats.dims_map_raw(), stats.dims_map_diff(),
+        d_model=32, time_layers=1, time_heads=4,
+    )
+    model, params = init_encoder(cfg, jax.random.key(4), clip_len=16)
+    enc = WindowEncoder(model, params, 16, 16)
+
+    seqs, tcs, wv = enc.encode_bank(bank, windows)
+
+    # --- per-video segmentation (the score_bank path) ---
+    num_videos = len(train_ds.items)
+    seq_sum, tc_sum, count = enc.encode_bank_segsum(bank, windows, wv, num_videos)
+    np.testing.assert_array_equal(
+        count.astype(np.int64), np.bincount(wv, minlength=num_videos)
+    )
+    want_seq = np.zeros((num_videos, 32), np.float32)
+    np.add.at(want_seq, wv, seqs)
+    np.testing.assert_allclose(seq_sum, want_seq, atol=1e-5)
+    np.testing.assert_allclose(
+        tc_sum, np.bincount(wv, weights=tcs, minlength=num_videos), atol=1e-5
+    )
+
+    rng = np.random.default_rng(0)
+    centroids = rng.normal(size=(3, 32)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=-1, keepdims=True)
+    video_label = rng.integers(0, 3, num_videos).astype(np.int32)
+
+    ac_f, tc_f = finalize_video_scores(
+        jnp.asarray(seq_sum), jnp.asarray(tc_sum), jnp.asarray(count),
+        jnp.asarray(video_label), jnp.asarray(centroids),
+    )
+    tc_direct = video_tc_scores(jnp.asarray(tcs), jnp.asarray(wv), num_videos)
+    ac_direct = video_ac_scores(
+        jnp.asarray(seqs), jnp.asarray(wv),
+        jnp.asarray(video_label), jnp.asarray(centroids),
+    )
+    np.testing.assert_allclose(np.asarray(tc_f), np.asarray(tc_direct), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ac_f), np.asarray(ac_direct), atol=1e-5)
+
+    # --- per-class segmentation with one EMPTY class (the centroid path) ---
+    label_dict = train_ds.label_dict()
+    win_label = np.array(
+        [label_dict[bank.classes[v]] for v, _s in windows], np.int32
+    )
+    n_cls = len(label_dict) + 1  # extra class with zero windows
+    seq_sum2, _tc2, count2 = enc.encode_bank_segsum(bank, windows, win_label, n_cls)
+    cen_f = np.asarray(
+        finalize_centroids(jnp.asarray(seq_sum2), jnp.asarray(count2))
+    )
+    cen_direct, counts_direct = build_centroids(
+        jnp.asarray(seqs), jnp.asarray(win_label), n_cls
+    )
+    np.testing.assert_array_equal(count2, np.asarray(counts_direct))
+    assert np.all(np.isnan(cen_f[-1])) and np.all(np.isnan(np.asarray(cen_direct)[-1]))
+    np.testing.assert_allclose(
+        cen_f[:-1], np.asarray(cen_direct)[:-1], atol=1e-5
+    )
+
+    with pytest.raises(ValueError, match="entries for"):
+        enc.encode_bank_segsum(bank, windows, wv[:-1], num_videos)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_encode_bank_segsum_mesh_matches_single_device(env):
+    """The accumulated segment sums agree between the dp8-sharded sweep and
+    the single-device sweep (GSPMD psum into the replicated state)."""
+    from video_gen_evals_tpu.data import (
+        build_feature_bank,
+        compute_stats,
+        enumerate_windows,
+        scan_class_tree,
+        train_test_split,
+    )
+    from video_gen_evals_tpu.parallel import make_mesh
+    from video_gen_evals_tpu.pipelines.score import WindowEncoder
+
+    root, mesh_root, kp_root, *_ = env
+    manifest = scan_class_tree(mesh_root)
+    train_ds, _ = train_test_split(manifest, 0.8, seed=1337)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    stats = compute_stats(train_ds.items, paths)
+    bank = build_feature_bank(train_ds.items, paths, stats, min_rows=24)
+    windows = enumerate_windows(train_ds, 16, 8)
+    wv = np.array([v for v, _s in windows], np.int32)
+    num_videos = len(train_ds.items)
+
+    cfg = EncoderConfig.create(
+        stats.dims_map_raw(), stats.dims_map_diff(),
+        d_model=32, time_layers=1, time_heads=4,
+    )
+    model, params = init_encoder(cfg, jax.random.key(2), clip_len=16)
+
+    enc1 = WindowEncoder(model, params, 16, 16)
+    s1, t1, c1 = enc1.encode_bank_segsum(bank, windows, wv, num_videos)
+    enc8 = WindowEncoder(model, params, 16, 16, mesh=make_mesh(n_data=8, n_model=1))
+    s8, t8, c8 = enc8.encode_bank_segsum(bank, windows, wv, num_videos)
+
+    np.testing.assert_array_equal(c1, c8)
+    np.testing.assert_allclose(s1, s8, atol=2e-5)
+    np.testing.assert_allclose(t1, t8, atol=2e-5)
+
+
 def test_window_encoder_block_kernel_matches_module(env):
     """encoder_impl="block_kernel" (fused Pallas conv stages, interpret mode
     on CPU) returns the same embeddings/TC as the module forward."""

@@ -159,22 +159,31 @@ def load_video_arrays(
 def compute_modality_diffs(
     arrays: T.Dict[str, np.ndarray]
 ) -> T.Dict[str, np.ndarray]:
-    """Full-video diff features per modality (float32, same ops as windows)."""
+    """Full-video diff features per modality (float32, same ops as windows).
+
+    Host-facing micro-math: runs on the local CPU backend (``host_math``) —
+    per modality this is a [T, D]-sized eager program on host numpy data, and
+    on a tunneled TPU the two blocking round-trips per modality (upload +
+    fetch) would dwarf the microseconds of arithmetic.
+    """
+    from ..utils.hostmath import host_math
+
     diffs: T.Dict[str, np.ndarray] = {}
-    for m, X in arrays.items():
-        Tlen = X.shape[0]
-        if m in ("vit", "clip", "dino"):
-            d = vit_delta(jnp.asarray(X))
-        elif m in ("global", "pose"):
-            R = X.reshape(Tlen, -1, 3, 3)
-            d = rotmat_delta(jnp.asarray(R)).reshape(Tlen, -1)
-        elif m == "beta":
-            d = betas_delta(jnp.asarray(X))
-        elif m == "kp2d":
-            d = procrustes_kp_delta(jnp.asarray(X))
-        else:
-            raise KeyError(m)
-        diffs[m] = np.asarray(d, dtype=np.float32)
+    with host_math():
+        for m, X in arrays.items():
+            Tlen = X.shape[0]
+            if m in ("vit", "clip", "dino"):
+                d = vit_delta(jnp.asarray(X))
+            elif m in ("global", "pose"):
+                R = X.reshape(Tlen, -1, 3, 3)
+                d = rotmat_delta(jnp.asarray(R)).reshape(Tlen, -1)
+            elif m == "beta":
+                d = betas_delta(jnp.asarray(X))
+            elif m == "kp2d":
+                d = procrustes_kp_delta(jnp.asarray(X))
+            else:
+                raise KeyError(m)
+            diffs[m] = np.asarray(d, dtype=np.float32)
     return diffs
 
 

@@ -86,6 +86,42 @@ def video_tc_scores(
     return segment_mean(window_tc, window_video, num_videos, weights)
 
 
+def finalize_centroids(
+    seq_sum: jnp.ndarray,  # [C, D] accumulated per-class embedding sums
+    count: jnp.ndarray,    # [C] accumulated window counts
+) -> jnp.ndarray:
+    """:func:`build_centroids` applied to pre-reduced per-class sums.
+
+    Companion to ``WindowEncoder.encode_bank_segsum``: the segment sums are
+    accumulated on device batch by batch, so only the ``[C, D]``-sized sums
+    cross the host boundary. Same semantics as build_centroids, including
+    NaN for classes with zero windows (ref ``utils.py:1018-1045``).
+    """
+    centroids = jnp.where(
+        count[:, None] > 0,
+        seq_sum / jnp.maximum(count, 1.0)[:, None],
+        jnp.nan,
+    )
+    return l2_normalize(centroids, axis=-1)
+
+
+def finalize_video_scores(
+    seq_sum: jnp.ndarray,     # [V, D] accumulated per-video embedding sums
+    tc_sum: jnp.ndarray,      # [V] accumulated per-video window-TC sums
+    count: jnp.ndarray,       # [V] accumulated window counts
+    video_label: jnp.ndarray, # [V] class id per video
+    centroids: jnp.ndarray,   # [C, D]
+) -> T.Tuple[jnp.ndarray, jnp.ndarray]:
+    """``(ac [V], tc [V])`` from pre-reduced per-video sums — the math of
+    :func:`video_ac_scores` / :func:`video_tc_scores` (ref ``eval.py:209-257``)
+    applied after device-side segment accumulation."""
+    cnt = jnp.maximum(count, 1.0)
+    tc_v = tc_sum / cnt
+    z_mean = l2_normalize(seq_sum / cnt[:, None], axis=-1)
+    d = z_mean - centroids[video_label]
+    return jnp.sqrt(jnp.sum(d * d, axis=-1)), tc_v
+
+
 def video_ac_scores(
     seq_embeds: jnp.ndarray,    # [N, D] window CLS embeddings
     window_video: jnp.ndarray,  # [N]

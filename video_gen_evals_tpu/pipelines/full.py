@@ -25,7 +25,7 @@ from ..data.features import (
 from ..data.manifest import VideoItem, VideoManifest
 from ..data.stats import ModalityStats, _Acc, MODALITIES
 from ..data.windows import enumerate_windows
-from ..metrics.scores import video_ac_scores, video_tc_scores
+from ..metrics.scores import finalize_video_scores
 from ..models import HumanActionScorer
 from ..pipelines.extract import Extractor
 from ..pipelines.score import ScoreConfig, WindowEncoder
@@ -195,10 +195,12 @@ def score_videos_end_to_end(
         encoder = WindowEncoder(
             model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
         )
-    seqs, window_tc, win_video = encoder.encode_bank(bank, windows)
     num_videos = len(names)
-    tc_v = np.asarray(
-        video_tc_scores(jnp.asarray(window_tc), jnp.asarray(win_video), num_videos)
+    # per-video sums accumulate on device along the sweep (no per-batch
+    # fetches); only the [V]-sized sums come home, finalized locally
+    win_video = np.array([v for v, _s in windows], np.int32)
+    seq_sum, tc_sum, count = encoder.encode_bank_segsum(
+        bank, windows, win_video, num_videos
     )
     # labels without a centroid row are masked by has_label; keep the gather
     # in-range regardless
@@ -206,14 +208,17 @@ def score_videos_end_to_end(
         [label_dict[c] if h else 0 for c, h in zip(classes, has_label)],
         np.int32,
     )
-    ac_v = np.asarray(
-        video_ac_scores(
-            jnp.asarray(seqs),
-            jnp.asarray(win_video),
+    from ..utils.hostmath import host_math
+
+    with host_math():
+        ac_j, tc_j = finalize_video_scores(
+            jnp.asarray(seq_sum),
+            jnp.asarray(tc_sum),
+            jnp.asarray(count),
             jnp.asarray(video_label),
             jnp.asarray(centroids),
         )
-    )
+        ac_v, tc_v = np.asarray(ac_j), np.asarray(tc_j)
     scores = {}
     for i, n in enumerate(names):
         entry: T.Dict[str, float] = {"tc": float(tc_v[i])}

@@ -45,10 +45,9 @@ from ..data import (
 )
 from ..metrics.correlation import match_and_correlate
 from ..metrics.scores import (
-    build_centroids,
+    finalize_centroids,
+    finalize_video_scores,
     tc_per_window,
-    video_ac_scores,
-    video_tc_scores,
 )
 from ..models import EncoderConfig, HumanActionScorer
 from ..utils.names import ACTION_CLASSES, canonicalize_class
@@ -233,18 +232,42 @@ class WindowEncoder:
                 out_shardings=out_s,
             )
 
-    def encode_bank(
+        # per-batch segment accumulator for encode_bank_segsum: rides along
+        # each encode dispatch so the [B, D] window outputs never cross the
+        # host boundary. nv (valid count) is traced, so one compile serves
+        # full and tail batches alike.
+        def _accum_fn(state, seq, tc, seg, nv):
+            seq_sum, tc_sum, cnt = state
+            w = (jnp.arange(seq.shape[0]) < nv).astype(seq_sum.dtype)
+            n_seg = seq_sum.shape[0]
+            seq_sum = seq_sum + jax.ops.segment_sum(
+                seq.astype(seq_sum.dtype) * w[:, None], seg, n_seg
+            )
+            tc_sum = tc_sum + jax.ops.segment_sum(
+                tc.astype(tc_sum.dtype) * w, seg, n_seg
+            )
+            cnt = cnt + jax.ops.segment_sum(w, seg, n_seg)
+            return seq_sum, tc_sum, cnt
+
+        accum_out_s = None
+        if mesh is not None:
+            # the accumulated state is tiny and read by every host at the
+            # end: keep it replicated (GSPMD inserts the psum)
+            accum_out_s = (self._rep_shard, self._rep_shard, self._rep_shard)
+        self._accum = jax.jit(_accum_fn, out_shardings=accum_out_s)
+
+    def _iter_encoded(
         self,
         bank: FeatureBank,
         windows: T.Sequence[T.Tuple[int, int]],
         bank_dev: T.Optional[T.Tuple] = None,
-    ) -> T.Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Returns (seq_embeds [N, D], window_tc [N], window_video [N]).
+    ):
+        """Dispatch the window sweep batch by batch WITHOUT host syncs.
 
-        ``bank_dev``: optional pre-uploaded ``(bank, offsets, row_limit,
-        z0_diff)`` device arrays (already mesh-placed when sharded) — a
-        caller that keeps the bank resident (the training harness's eval
-        passes) skips re-transferring it per call."""
+        Yields ``(seq, tc, n_valid)`` per batch: padded-to-batch_size DEVICE
+        arrays plus the count of real (non-pad) leading rows. Callers decide
+        how results come home — one deferred bulk fetch (:meth:`encode_bank`)
+        or on-device accumulation (:meth:`encode_bank_segsum`)."""
         n = len(windows)
         # a bank built with min_rows < clip_len would let the sliced gather
         # read the NEXT video's rows — enforce the build-time convention here
@@ -279,12 +302,12 @@ class WindowEncoder:
             bank_burst = pad_bank_lanes(bank_d)
             out_dim = int(bank_d.shape[1])
 
-        seqs, tcs = [], []
         B = self.batch_size
         for lo in range(0, n, B):
             vi = video_idx[lo : lo + B]
             st = starts[lo : lo + B]
-            pad = B - len(vi)
+            n_valid = len(vi)
+            pad = B - n_valid
             if pad:
                 vi = np.concatenate([vi, np.repeat(vi[-1:], pad)])
                 st = np.concatenate([st, np.repeat(st[-1:], pad)])
@@ -317,11 +340,84 @@ class WindowEncoder:
                     st_d,
                     bank.one_pass_raw,
                 )
-            if pad:
-                seq, tc = seq[:-pad], tc[:-pad]
-            seqs.append(np.asarray(seq))
-            tcs.append(np.asarray(tc))
-        return np.concatenate(seqs), np.concatenate(tcs), video_idx
+            yield seq, tc, n_valid
+
+    def encode_bank(
+        self,
+        bank: FeatureBank,
+        windows: T.Sequence[T.Tuple[int, int]],
+        bank_dev: T.Optional[T.Tuple] = None,
+    ) -> T.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (seq_embeds [N, D], window_tc [N], window_video [N]).
+
+        ``bank_dev``: optional pre-uploaded ``(bank, offsets, row_limit,
+        z0_diff)`` device arrays (already mesh-placed when sharded) — a
+        caller that keeps the bank resident (the training harness's eval
+        passes) skips re-transferring it per call.
+
+        All batches are dispatched back to back and fetched in ONE
+        ``jax.device_get`` at the end: through the axon tunnel a per-batch
+        blocking fetch costs a ~28 ms round-trip, so the sweep used to pay
+        2 round-trips per batch of pure idle time. Pad rows are sliced off
+        on the host (a device-side slice would compile a new tiny program
+        per tail shape)."""
+        outs, valids = [], []
+        video_idx = np.array([w[0] for w in windows], np.int32)
+        for seq, tc, n_valid in self._iter_encoded(bank, windows, bank_dev):
+            outs.append((seq, tc))
+            valids.append(n_valid)
+        got = jax.device_get(outs)
+        seqs = np.concatenate([np.asarray(s)[:nv] for (s, _), nv in zip(got, valids)])
+        tcs = np.concatenate([np.asarray(t)[:nv] for (_, t), nv in zip(got, valids)])
+        return seqs, tcs, video_idx
+
+    def encode_bank_segsum(
+        self,
+        bank: FeatureBank,
+        windows: T.Sequence[T.Tuple[int, int]],
+        seg_ids: np.ndarray,
+        num_segments: int,
+        bank_dev: T.Optional[T.Tuple] = None,
+    ) -> T.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Encode + reduce: returns host ``(seq_sum [S, D], tc_sum [S],
+        count [S])`` where segment ``s`` sums the window CLS embeddings and
+        per-window TC of windows with ``seg_ids == s`` (video index for
+        scoring, class id for centroids).
+
+        The reduction rides along each encode dispatch on device, so the
+        per-batch ``[B, D]`` outputs never cross the host boundary — only
+        the ``[S]``-sized sums are fetched, once (SURVEY §7.1 north star:
+        no host round-trips until the final JSON). Summation order differs
+        from the one-shot reducers by batch grouping (f32, ~1e-7)."""
+        seg_ids = np.asarray(seg_ids, np.int32)
+        if len(seg_ids) != len(windows):
+            raise ValueError(
+                f"seg_ids has {len(seg_ids)} entries for {len(windows)} windows"
+            )
+        B = self.batch_size
+        d_model = self.model.config.d_model
+        state = (
+            jnp.zeros((num_segments, d_model), jnp.float32),
+            jnp.zeros((num_segments,), jnp.float32),
+            jnp.zeros((num_segments,), jnp.float32),
+        )
+        if self.mesh is not None:
+            from ..parallel import put_global
+
+            state = tuple(put_global(a, self._rep_shard) for a in state)
+        for i, (seq, tc, n_valid) in enumerate(
+            self._iter_encoded(bank, windows, bank_dev)
+        ):
+            seg = seg_ids[i * B : i * B + B]
+            pad = B - len(seg)
+            if pad:  # pad rows are masked out by the n_valid weight
+                seg = np.concatenate([seg, np.repeat(seg[-1:], pad)])
+            seg_d = jnp.asarray(seg)
+            if self.mesh is not None:
+                seg_d = put_global(seg_d, self._batch_shard)
+            state = self._accum(state, seq, tc, seg_d, n_valid)
+        seq_sum, tc_sum, count = jax.device_get(state)
+        return np.asarray(seq_sum), np.asarray(tc_sum), np.asarray(count)
 
 
 def build_real_centroids(
@@ -340,14 +436,21 @@ def build_real_centroids(
         cache_path=bank_cache,
     )
     windows = enumerate_windows(train_ds, cfg.clip_len, cfg.stride)
-    seqs, _tc, win_video = encoder.encode_bank(bank, windows)
-    labels = np.array(
-        [label_dict[bank.classes[v]] for v in win_video], np.int32
+    # per-class sums accumulate on device along the sweep; only the [C, D]
+    # sums come home (one fetch), then the tiny finalize runs locally
+    win_label = np.array(
+        [label_dict[bank.classes[v]] for v, _s in windows], np.int32
     )
-    centroids, _counts = build_centroids(
-        jnp.asarray(seqs), jnp.asarray(labels), len(label_dict)
+    seq_sum, _tc_sum, count = encoder.encode_bank_segsum(
+        bank, windows, win_label, len(label_dict)
     )
-    return np.asarray(centroids), label_dict
+    from ..utils.hostmath import host_math
+
+    with host_math():
+        centroids = np.asarray(
+            finalize_centroids(jnp.asarray(seq_sum), jnp.asarray(count))
+        )
+    return centroids, label_dict
 
 
 def score_bank(
@@ -362,14 +465,14 @@ def score_bank(
     windows = enumerate_windows(manifest, cfg.clip_len, cfg.stride)
     if not windows:
         return {}
-    seqs, window_tc, win_video = encoder.encode_bank(bank, windows)
     num_videos = len(manifest.items)
-
-    tc_v = np.asarray(
-        video_tc_scores(
-            jnp.asarray(window_tc), jnp.asarray(win_video), num_videos
-        )
+    # per-video sums accumulate on device along the sweep (no per-batch
+    # fetches — SURVEY §7.1); the [V]-sized finalize runs locally
+    win_video = np.array([v for v, _s in windows], np.int32)
+    seq_sum, tc_sum, count = encoder.encode_bank_segsum(
+        bank, windows, win_video, num_videos
     )
+    from ..utils.hostmath import host_math
 
     # AC only for videos whose canonical class has a centroid
     video_cls = [canonicalize_class(c) for c in bank.classes]
@@ -379,18 +482,18 @@ def score_bank(
     has_label = np.array(
         [c in label_dict and label_dict[c] < len(centroids) for c in video_cls]
     )
-    ac_v = np.asarray(
-        video_ac_scores(
-            jnp.asarray(seqs),
-            jnp.asarray(win_video),
+    with host_math():
+        ac_j, tc_j = finalize_video_scores(
+            jnp.asarray(seq_sum),
+            jnp.asarray(tc_sum),
+            jnp.asarray(count),
             jnp.asarray(video_label),
             jnp.asarray(centroids),
         )
-    )
+        ac_v, tc_v = np.asarray(ac_j), np.asarray(tc_j)
 
     # videos can appear with zero windows only if length <= 0 (skipped)
-    has_window = np.zeros(num_videos, bool)
-    has_window[np.unique(win_video)] = True
+    has_window = count > 0
 
     scores: T.Dict[str, T.Dict[str, float]] = {}
     import os

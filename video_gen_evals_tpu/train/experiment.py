@@ -37,7 +37,7 @@ from ..data import (
     train_test_split,
 )
 from ..metrics.correlation import correlate_with_class_fallback
-from ..metrics.scores import build_centroids, video_ac_scores, video_tc_scores
+from ..metrics.scores import finalize_centroids, finalize_video_scores
 from ..models import EncoderConfig, HumanActionScorer
 from ..models.fusion_encoder import init_encoder
 from ..pipelines.score import WindowEncoder
@@ -300,16 +300,23 @@ class Experiment:
 
     def evaluate_centroids(self) -> np.ndarray:
         enc = self._window_encoder()
-        seqs, _tc, win_video = enc.encode_bank(
-            self.train_bank, self.train_windows, bank_dev=self._train_bank_dev
+        win_label = np.array(
+            [self.label_dict[self.train_bank.classes[vi]]
+             for vi, _s in self.train_windows],
+            np.int32,
         )
-        labels = np.array(
-            [self.label_dict[self.train_bank.classes[v]] for v in win_video], np.int32
+        # per-class sums accumulate on device along the sweep; only the
+        # [C, D] sums come home (one fetch) and finalize locally
+        seq_sum, _tc_sum, count = enc.encode_bank_segsum(
+            self.train_bank, self.train_windows, win_label,
+            len(self.label_dict), bank_dev=self._train_bank_dev,
         )
-        cen, _ = build_centroids(
-            jnp.asarray(seqs), jnp.asarray(labels), len(self.label_dict)
-        )
-        return np.asarray(cen)
+        from ..utils.hostmath import host_math
+
+        with host_math():
+            return np.asarray(
+                finalize_centroids(jnp.asarray(seq_sum), jnp.asarray(count))
+            )
 
     def evaluate_test_loss(self, epoch: int) -> T.Tuple[float, T.Dict[str, float]]:
         """Same loss as training over fixed test-window chunks (eval mode);
@@ -560,22 +567,27 @@ def generated_monitor_scores(
     AC only covers videos whose name contains a known class — the reference
     skips class-less videos from ``action_scores`` (``utils.py:1154-1159``)
     even though their VideoItem carried the fallback class."""
-    seqs, window_tc, win_video = encoder.encode_bank(bank, windows)
     num_videos = len(items)
-    tc_v = np.asarray(
-        video_tc_scores(jnp.asarray(window_tc), jnp.asarray(win_video), num_videos)
+    # per-video sums accumulate on device along the sweep; only the
+    # [V]-sized sums come home (one fetch) and finalize locally
+    win_video = np.array([v for v, _s in windows], np.int32)
+    seq_sum, tc_sum, count = encoder.encode_bank_segsum(
+        bank, windows, win_video, num_videos
     )
     video_label = np.array(
         [label_dict.get(c, 0) for c in bank.classes], np.int32
     )
-    ac_v = np.asarray(
-        video_ac_scores(
-            jnp.asarray(seqs),
-            jnp.asarray(win_video),
+    from ..utils.hostmath import host_math
+
+    with host_math():
+        ac_j, tc_j = finalize_video_scores(
+            jnp.asarray(seq_sum),
+            jnp.asarray(tc_sum),
+            jnp.asarray(count),
             jnp.asarray(video_label),
             jnp.asarray(centroids),
         )
-    )
+        ac_v, tc_v = np.asarray(ac_j), np.asarray(tc_j)
     tc_scores = {items[v].name: float(tc_v[v]) for v in range(num_videos)}
     ac_scores = {
         items[v].name: float(ac_v[v])
