@@ -117,6 +117,12 @@ class TrainConfig:
     # — BENCH_NOTES round 2) on single-chip TPU, module convs elsewhere;
     # "module"/"kernel" force one implementation
     conv_impl: str = "auto"
+    # overlap per-epoch checkpoint writes with the next epoch's compute
+    # (worker-thread device_get + write; ~30 s/epoch through the tunnel,
+    # BENCH_NOTES config-5). Only affects Experiment.run's own saves —
+    # direct save_resume_checkpoint calls stay blocking — and only
+    # single-process runs (multi-process saves are collective).
+    async_checkpoint: bool = True
 
     @property
     def batch_size(self) -> int:

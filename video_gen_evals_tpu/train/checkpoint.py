@@ -20,7 +20,9 @@ per-process handshakes this harness doesn't need.
 from __future__ import annotations
 
 import os
+import queue
 import re
+import threading
 import typing as T
 
 import jax
@@ -101,6 +103,73 @@ def _restore_npz(path: str, like):
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), leaves
     )
+
+
+class AsyncSaver:
+    """One-worker FIFO background checkpoint writer.
+
+    Through the axon tunnel a checkpoint save is dominated by the
+    ``device_get`` transfer (~30 s measured for a flagship train state,
+    BENCH_NOTES "Config-5 end-to-end on-chip") — and a transfer blocks only
+    the CALLING thread while the accelerator keeps computing. Submitting the
+    save to a worker thread overlaps the whole fetch+write with the next
+    epoch's steps. The reference has no equivalent (its ``torch.save`` of a
+    CUDA state_dict blocks the loop, ref ``train.py:450-455``).
+
+    Guarantees:
+      - FIFO single worker: saves land in submit order, so a resume file is
+        never overwritten by an older epoch's bytes.
+      - Deferred errors: a failed save is re-raised at the next
+        :meth:`submit` or :meth:`wait` — never lost (resume correctness
+        depends on knowing the file is there).
+      - Callers must :meth:`wait` before relying on the files (the
+        ``Experiment.run`` loop does this on exit; the worker is a daemon
+        thread, so an un-waited interpreter exit may truncate in-flight
+        writes — exactly a crash, which the atomic tmp+rename publish and
+        orbax's own finalize-by-rename already make safe).
+
+    Buffers handed to a submitted save must not be donated afterwards:
+    the training loop snapshots the state on device first (one jitted copy,
+    HBM-bandwidth cheap) because ``train_step`` donates its input state.
+    """
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue[T.Callable[[], None]]" = queue.Queue()
+        self._thread: T.Optional[threading.Thread] = None
+        self._err: T.Optional[BaseException] = None
+        self._lock = threading.Lock()
+
+    def _loop(self) -> None:
+        while True:
+            fn = self._q.get()
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — deferred to caller
+                with self._lock:
+                    if self._err is None:
+                        self._err = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self) -> None:
+        with self._lock:
+            err, self._err = self._err, None
+        if err is not None:
+            raise RuntimeError("async checkpoint save failed") from err
+
+    def submit(self, fn: T.Callable[[], None]) -> None:
+        self._raise_pending()
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(
+                target=self._loop, name="ckpt-saver", daemon=True
+            )
+            self._thread.start()
+        self._q.put(fn)
+
+    def wait(self) -> None:
+        """Block until every submitted save has finished; re-raise failures."""
+        self._q.join()
+        self._raise_pending()
 
 
 def save_params(path: str, params) -> None:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 import typing as T
 
@@ -68,6 +69,8 @@ class Experiment:
             self._rep_shard = None
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        self._ckpt_saver = None   # lazy AsyncSaver (see save_resume_checkpoint)
+        self._snapshot_fn = None  # lazy jitted on-device state copier
 
         ts = time.strftime("%Y%m%d_%H%M%S")
         self.save_dir = os.path.join(cfg.save_dir, f"{cfg.name}_{ts}")
@@ -441,28 +444,67 @@ class Experiment:
         return out
 
     # ------------------------------------------------------------------
-    def save_resume_checkpoint(self, epoch: int, path: T.Optional[str] = None) -> str:
+    # -- async checkpoint machinery (TrainConfig.async_checkpoint) --------
+    @property
+    def _async_saves(self) -> bool:
+        return self.cfg.async_checkpoint and jax.process_count() == 1
+
+    def _saver(self):
+        if self._ckpt_saver is None:
+            from .checkpoint import AsyncSaver
+
+            self._ckpt_saver = AsyncSaver()
+        return self._ckpt_saver
+
+    def _device_snapshot(self, tree):
+        """On-device copy of ``tree`` (one jitted program, HBM-bandwidth
+        cheap). Required before handing state to the background saver:
+        ``train_step`` donates its input state, which would invalidate the
+        live buffers mid-fetch; the snapshot's buffers are never donated."""
+        if self._snapshot_fn is None:
+            self._snapshot_fn = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t)
+            )
+        return self._snapshot_fn(tree)
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until pending background checkpoint saves are durable."""
+        if self._ckpt_saver is not None:
+            self._ckpt_saver.wait()
+
+    def save_resume_checkpoint(
+        self, epoch: int, path: T.Optional[str] = None, block: bool = True
+    ) -> str:
         """Full train-state checkpoint for exact resume (params, optimizer,
         step counter, epoch, best loss) — a capability the reference lacks
-        (it saves model weights only, ref ``train.py:450-455``)."""
+        (it saves model weights only, ref ``train.py:450-455``).
+
+        ``block=False`` (used by :meth:`run` when async checkpointing is on)
+        snapshots the state on device and hands the fetch+write to a worker
+        thread; call :meth:`wait_for_checkpoints` before relying on the file.
+        """
         from .checkpoint import save_train_state
 
         path = path or os.path.join(self.save_dir, f"resume_epoch{epoch:03d}")
-        save_train_state(
-            path,
-            {
-                "params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": self.state.step,
-                "epoch": jnp.asarray(epoch, jnp.int32),
-                "best_eval_loss": jnp.asarray(self.best_eval_loss, jnp.float32),
-            },
-        )
+        state_tree = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+            "best_eval_loss": jnp.asarray(self.best_eval_loss, jnp.float32),
+        }
+        if block or not self._async_saves:
+            save_train_state(path, state_tree)
+            return path
+        snap = self._device_snapshot(state_tree)
+        self._saver().submit(lambda: save_train_state(path, snap))
         return path
 
     def restore_resume_checkpoint(self, path: str) -> int:
         """Restore full train state; returns the next epoch to run."""
         from .checkpoint import restore_train_state
+
+        self.wait_for_checkpoints()  # never read a file a worker is writing
 
         if self.mesh is not None:
             # abstract template — device_get can't fetch cross-process shards
@@ -505,32 +547,60 @@ class Experiment:
         return int(st["epoch"]) + 1
 
     def run(self, start_epoch: int = 0) -> None:
-        for epoch in range(start_epoch, self.cfg.epochs):
-            avg_loss = self.train_one_epoch(epoch)
-            centroids = self.evaluate_centroids()
-            eval_loss, _comps = self.evaluate_test_loss(epoch)
-            if eval_loss < self.best_eval_loss:
-                self.best_eval_loss = eval_loss
-                ckpt = os.path.join(
-                    self.save_dir, f"best_eval_epoch{epoch + 1:03d}"
-                )
-                save_params(ckpt, self.state.params)
-                self.best_ckpt = ckpt
-                self._log({"event": "checkpoint", "epoch": epoch, "loss": eval_loss})
-            self.evaluate_centroid_distance(epoch, centroids)
-            try:
-                self.evaluate_human_corr(epoch, centroids)
-            except Exception as e:  # noqa: BLE001
-                # purely a monitor (the reference's own monitor skips
-                # unloadable gen videos, ref utils.py:1083-1086) — a bad
-                # generated tree must not abort training before the
-                # epoch's resume checkpoint is written
-                self._log({
-                    "event": "human_corr_failed",
-                    "epoch": epoch,
-                    "error": f"{type(e).__name__}: {e}",
-                })
-            self.save_resume_checkpoint(epoch)
+        # inside the loop, checkpoint writes go to the background saver
+        # (cfg.async_checkpoint, single-process only): the ~30 s tunnel
+        # device_get+write overlaps the next epoch's compute. The finally
+        # drains the queue, so every file run() promised exists when it
+        # returns — even on an exception (the last good checkpoint must
+        # land for resume).
+        try:
+            for epoch in range(start_epoch, self.cfg.epochs):
+                avg_loss = self.train_one_epoch(epoch)
+                centroids = self.evaluate_centroids()
+                eval_loss, _comps = self.evaluate_test_loss(epoch)
+                if eval_loss < self.best_eval_loss:
+                    self.best_eval_loss = eval_loss
+                    ckpt = os.path.join(
+                        self.save_dir, f"best_eval_epoch{epoch + 1:03d}"
+                    )
+                    if self._async_saves:
+                        snap = self._device_snapshot(self.state.params)
+                        # bind per-iteration values: ckpt/snap are rebound on
+                        # later epochs before the worker may run
+                        self._saver().submit(
+                            lambda p=ckpt, s=snap: save_params(p, s)
+                        )
+                    else:
+                        save_params(ckpt, self.state.params)
+                    self.best_ckpt = ckpt
+                    self._log({"event": "checkpoint", "epoch": epoch, "loss": eval_loss})
+                self.evaluate_centroid_distance(epoch, centroids)
+                try:
+                    self.evaluate_human_corr(epoch, centroids)
+                except Exception as e:  # noqa: BLE001
+                    # purely a monitor (the reference's own monitor skips
+                    # unloadable gen videos, ref utils.py:1083-1086) — a bad
+                    # generated tree must not abort training before the
+                    # epoch's resume checkpoint is written
+                    self._log({
+                        "event": "human_corr_failed",
+                        "epoch": epoch,
+                        "error": f"{type(e).__name__}: {e}",
+                    })
+                self.save_resume_checkpoint(epoch, block=not self._async_saves)
+        finally:
+            # don't let a drain-time save failure mask an in-flight
+            # exception from the loop body
+            if sys.exc_info()[0] is None:
+                self.wait_for_checkpoints()
+            else:
+                try:
+                    self.wait_for_checkpoints()
+                except Exception as e:  # noqa: BLE001
+                    self._log({
+                        "event": "checkpoint_drain_failed",
+                        "error": f"{type(e).__name__}: {e}",
+                    })
 
 
 def infer_generated_classes(
