@@ -89,6 +89,9 @@ def main() -> None:
         epochs=int(os.environ.get("BENCH_EPOCHS", "3")),
         save_dir=os.path.join(root, "SAVE"),
         filter_classes=classes,
+        # BENCH_SYNC_CKPT=1 pins the blocking checkpoint path for an A/B
+        # against the round-4 background saver (TrainConfig default: async)
+        async_checkpoint=os.environ.get("BENCH_SYNC_CKPT", "0") != "1",
     )
 
     t0 = time.perf_counter()
@@ -125,6 +128,10 @@ def main() -> None:
         "evaluate_centroid_distance",
         "evaluate_human_corr",
         "save_resume_checkpoint",
+        # with async_checkpoint the per-epoch save returns ~instantly and
+        # run()'s finally drains the worker — the drain time is the part of
+        # the fetch+write the overlap could NOT hide
+        "wait_for_checkpoints",
     ):
         timed_method(m)
 
@@ -145,6 +152,8 @@ def main() -> None:
         eval_centroid_dist_s=phase_times.get("evaluate_centroid_distance"),
         eval_human_corr_s=phase_times.get("evaluate_human_corr"),
         resume_ckpt_s=phase_times.get("save_resume_checkpoint"),
+        ckpt_drain_s=phase_times.get("wait_for_checkpoints"),
+        async_checkpoint=cfg.async_checkpoint,
     )
 
     # retrace detector: each jitted step fn should have compiled ONCE per
