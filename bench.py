@@ -177,7 +177,11 @@ def main() -> None:
 
         fusion = {"chain": "chain", "chain2": "chain2",
                   "stacked": "stacked"}.get(encoder_impl, "stage")
-        conv_variant = "mm_first" if encoder_impl == "mm" else "slice"
+        # BENCH_VARIANT overrides the tap formulation for the chain kernels
+        # (round-5 directive #4: chain/chain2 with the scratch-free mm taps)
+        conv_variant = os.environ.get(
+            "BENCH_VARIANT", "mm_first" if encoder_impl == "mm" else "slice"
+        )
         # mm_first has no padded scratch, so block_windows=64 fits VMEM
         # (the slice variant's scratch blew it at 64 — BENCH_NOTES round 2)
         bench_bw = int(os.environ.get("BENCH_BW", 32))
@@ -251,6 +255,12 @@ def main() -> None:
     ac, tcv = score_suite(params, centroids + carry, labels)  # warmup/compile
     float(ac[0])
 
+    # host-contention snapshot taken right before timing (round-4 lesson:
+    # a concurrent CPU test suite silently depressed a measurement ~20%)
+    from video_gen_evals_tpu.utils.hostload import guard
+
+    host_load = guard("bench.py")
+
     best_dt = None
     for _pass in range(max(1, int(os.environ.get("BENCH_PASSES", "2")))):
         # seed the carry differently per pass and propagate a tiny slice of
@@ -285,6 +295,8 @@ def main() -> None:
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "host_load1": host_load["load1"],
+                "host_contended": host_load["contended"],
             }
         )
     )

@@ -50,8 +50,12 @@ def main() -> None:
     def emit(tag, **kw):
         print(json.dumps({"tag": tag, **kw}), flush=True)
 
+    from video_gen_evals_tpu.utils.hostload import guard
+
+    load = guard("bench_config5.py")
     emit("backend", platform=jax.default_backend(),
-         device=str(jax.devices()[0]))
+         device=str(jax.devices()[0]),
+         host_load1=load["load1"], host_contended=load["contended"])
 
     root = tempfile.mkdtemp(prefix="cfg5_")
     rng = np.random.default_rng(11)
@@ -89,9 +93,11 @@ def main() -> None:
         epochs=int(os.environ.get("BENCH_EPOCHS", "3")),
         save_dir=os.path.join(root, "SAVE"),
         filter_classes=classes,
-        # BENCH_SYNC_CKPT=1 pins the blocking checkpoint path for an A/B
-        # against the round-4 background saver (TrainConfig default: async)
-        async_checkpoint=os.environ.get("BENCH_SYNC_CKPT", "0") != "1",
+        # BENCH_SYNC_CKPT (any of 1/true/yes) pins the blocking checkpoint
+        # path for an A/B against the round-4 background saver
+        # (TrainConfig default: async)
+        async_checkpoint=os.environ.get("BENCH_SYNC_CKPT", "0").lower()
+        not in {"1", "true", "yes"},
     )
 
     t0 = time.perf_counter()
@@ -153,7 +159,9 @@ def main() -> None:
         eval_human_corr_s=phase_times.get("evaluate_human_corr"),
         resume_ckpt_s=phase_times.get("save_resume_checkpoint"),
         ckpt_drain_s=phase_times.get("wait_for_checkpoints"),
-        async_checkpoint=cfg.async_checkpoint,
+        # the EFFECTIVE mode (cfg flag AND process_count()==1), not the raw
+        # cfg flag — they differ in multi-process runs
+        async_checkpoint=exp._async_saves,
     )
 
     # retrace detector: each jitted step fn should have compiled ONCE per

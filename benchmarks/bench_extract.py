@@ -32,6 +32,14 @@ from video_gen_evals_tpu.models.smpl_head import SMPLHeadConfig, SMPLTokenDecode
 from video_gen_evals_tpu.models.vit import ViTBackbone, ViTConfig
 
 
+def _load_fields() -> dict:
+    """Host-contention fields for the output JSON (round-5 discipline)."""
+    from video_gen_evals_tpu.utils.hostload import snapshot
+
+    s = snapshot()
+    return {"host_load1": s["load1"], "host_contended": s["contended"]}
+
+
 def _time(fn, params, xs, iters=16):
     """Honest steady-state timing through the execution tunnel: iterations
     are CHAINED via a data dependency (call i+1's input depends on call i's
@@ -69,6 +77,7 @@ def bench_pose(batch: int, iters: int, dtype) -> None:
         "unit": "frames/sec",
         "batch": batch,
         "dtype": str(dtype.__name__),
+        **_load_fields(),
     }))
 
 
@@ -100,6 +109,7 @@ def bench_mesh(batch: int, iters: int, dtype, depth: int) -> None:
         "batch": batch,
         "vit_depth": depth,
         "dtype": str(dtype.__name__),
+        **_load_fields(),
     }))
 
 

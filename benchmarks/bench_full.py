@@ -88,7 +88,24 @@ def main() -> None:
                    help="reference-reproduction preset "
                         "(ExtractorConfig.parity(): R-CNN mesh detector, "
                         "upstream crops, 'high' matmuls, exact RCNNConfig)")
+    p.add_argument("--bank-impl", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="feature-bank assembly: 'device' keeps extraction "
+                        "outputs on device (data/device_bank.py); 'auto' = "
+                        "device on TPU (round-5 A/B lever)")
+    p.add_argument("--precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="matmul precision for EVERY stage (extraction AND "
+                        "scoring). Default: the config's own default "
+                        "('high'). The parity claim is made at 'high' and "
+                        "'highest' (round-5 directive: PARITY.md shows "
+                        "'high' can exceed the 1e-3 budget at the "
+                        "random-weight pessimistic bound; 'highest' holds "
+                        "it by construction)")
     args = p.parse_args()
+    if args.precision == "default" and args.parity:
+        p.error("--parity needs --precision high or highest "
+                "(PARITY.md: 'default' bf16 exceeds the 1e-3 budget)")
     if args.rcnn_fast and args.mesh_detector != "rcnn":
         p.error("--rcnn-fast requires --mesh-detector rcnn")
     if args.parity:
@@ -116,10 +133,14 @@ def main() -> None:
     # the benchmark must measure the full compute path
     from video_gen_evals_tpu.models.rcnn import RCNNConfig
 
+    prec_kw = (
+        {"matmul_precision": args.precision} if args.precision else {}
+    )
     if args.parity:
         ex_cfg = ExtractorConfig.parity(
             vit=ViTConfig(depth=args.vit_depth),
             keep_all_frames=True,
+            **prec_kw,
         )
     else:
         ex_cfg = ExtractorConfig(
@@ -128,6 +149,7 @@ def main() -> None:
             mesh_detector=args.mesh_detector,
             preproc=args.preproc,
             rcnn=RCNNConfig.fast() if args.rcnn_fast else None,
+            **prec_kw,
         )
     extractor = Extractor(ex_cfg)
     if args.bf16:
@@ -146,7 +168,11 @@ def main() -> None:
 
     label_dict = {"jumping_jack": 0}
     centroids = np.ones((1, 256), np.float32) / 16.0
-    score_cfg = ScoreConfig(batch_size=64)
+    score_cfg = ScoreConfig(
+        batch_size=64,
+        bank_impl=args.bank_impl,
+        **({"matmul_precision": args.precision} if args.precision else {}),
+    )
 
     with tempfile.TemporaryDirectory() as td:
         paths = synth_videos(args.videos, args.frames, H, W, td)
@@ -166,7 +192,7 @@ def main() -> None:
             score_cfg.matmul_precision,
         )
 
-        def run_once():
+        def run_once(phase_times=None):
             if decoded is not None:
                 frames_by_video = decoded
             else:
@@ -184,14 +210,22 @@ def main() -> None:
                 cfg=score_cfg,
                 with_keypoints=True,
                 encoder=encoder,
+                phase_times=phase_times,
             )
 
         # pass 1 compiles every stage; pass 2 is the steady-state number
         t0 = time.perf_counter()
         res = run_once()
         compile_and_run = time.perf_counter() - t0
+
+        # contention guard (round-5 directive: the 44.0-vs-54.2 incident) —
+        # snapshot immediately before the steady timed pass
+        from video_gen_evals_tpu.utils.hostload import guard
+
+        host_load = guard("bench_full.py")
+        phases: dict = {}
         t0 = time.perf_counter()
-        res = run_once()
+        res = run_once(phase_times=phases)
         steady = time.perf_counter() - t0
 
         breakdown = {}
@@ -289,6 +323,13 @@ def main() -> None:
                 "native_decode": native_available(),
                 "first_pass_sec": round(compile_and_run, 2),
                 "steady_sec": round(steady, 2),
+                "phase_sec": {k: round(v, 3) for k, v in phases.items()},
+                "bank_impl": args.bank_impl,
+                "matmul_precision": args.precision
+                or ex_cfg.matmul_precision,
+                "parity_config": ex_cfg.is_parity(),
+                "host_load1": host_load["load1"],
+                "host_contended": host_load["contended"],
                 "scored": len(res.scores),
                 "rejected": len(res.rejected),
                 **({"breakdown_per_video": breakdown} if breakdown else {}),

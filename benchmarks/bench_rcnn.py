@@ -89,6 +89,9 @@ def main() -> None:
                     )
                 _ = float(carry)
                 ms = (time.perf_counter() - t0) / iters * 1e3
+            from video_gen_evals_tpu.utils.hostload import snapshot
+
+            load = snapshot()
             print(
                 json.dumps(
                     {
@@ -98,6 +101,8 @@ def main() -> None:
                         "batch": B,
                         "ms_per_batch": round(ms, 2),
                         "frames_per_sec": round(B / ms * 1e3, 1),
+                        "host_load1": load["load1"],
+                        "host_contended": load["contended"],
                     }
                 ),
                 flush=True,

@@ -67,6 +67,9 @@ def main() -> None:
         final = float(m["total"])
         dt = (time.perf_counter() - t0) / args.iters
 
+    from video_gen_evals_tpu.utils.hostload import snapshot
+
+    load = snapshot()
     print(json.dumps({
         "metric": "train_steps_per_sec",
         "value": round(1.0 / dt, 3),
@@ -75,6 +78,8 @@ def main() -> None:
         "conv_impl": args.conv_impl,
         "window_forwards_per_sec": round(4 * args.batch / dt, 1),
         "loss_finite": bool(np.isfinite(final)),
+        "host_load1": load["load1"],
+        "host_contended": load["contended"],
     }))
 
 

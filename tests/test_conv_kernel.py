@@ -111,6 +111,53 @@ def test_chain_kernel_matches_stage_kernels(rng):
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
 
 
+def test_chain_kernel_mm_first_matches_stage_mm(rng):
+    """Chain kernel with the scratch-free mm_first taps (round-5) is
+    bit-identical to stacking the per-stage mm_first kernel: same unpadded
+    dots, same shifted-add accumulation order."""
+    from video_gen_evals_tpu.ops.chain_kernel import fused_temporal_chain
+
+    B, Tl, C = 8, 16, 128
+    x = jnp.asarray(rng.normal(size=(B, Tl, C)).astype(np.float32))
+    w1s = jnp.asarray(rng.normal(size=(4, 5, C, C)).astype(np.float32)) * 0.08
+    w2s = jnp.asarray(rng.normal(size=(4, 5, C, C)).astype(np.float32)) * 0.08
+    gss = jnp.asarray(1.0 + 0.1 * rng.normal(size=(4, C)).astype(np.float32))
+    gbs = jnp.asarray(0.1 * rng.normal(size=(4, C)).astype(np.float32))
+    y_ref = x
+    for s, dil in enumerate((1, 2, 4, 8)):
+        y_ref = fused_temporal_block(
+            y_ref, w1s[s], w2s[s], gss[s], gbs[s], dilation=dil,
+            block_windows=4, precision="high", variant="mm_first",
+            interpret=True,
+        )
+    y = fused_temporal_chain(
+        x, w1s, w2s, gss, gbs, block_windows=4, variant="mm_first",
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    # split-group form (chain2): same stages in two launches, same numerics
+    y2 = x
+    for g in ((0, 1), (2, 3)):
+        idx = np.array(g)
+        y2 = fused_temporal_chain(
+            y2, w1s[idx], w2s[idx], gss[idx], gbs[idx],
+            dilations=tuple((1, 2, 4, 8)[i] for i in g),
+            block_windows=4, variant="mm_first", interpret=True,
+        )
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y_ref))
+
+
+def test_chain_kernel_rejects_unknown_variant(rng):
+    from video_gen_evals_tpu.ops.chain_kernel import fused_temporal_chain
+
+    x = jnp.zeros((4, 16, 128), jnp.float32)
+    w = jnp.zeros((4, 5, 128, 128), jnp.float32)
+    g = jnp.zeros((4, 128), jnp.float32)
+    with pytest.raises(ValueError, match="variant"):
+        fused_temporal_chain(x, w, w, g, g, block_windows=4,
+                             variant="mm", interpret=True)
+
+
 def test_stacked_fusion_matches_stage(rng):
     """stage_fusion='stacked' (all chains, grid-(chain, block) kernel) is
     bit-identical to the per-chain stage kernels on the full forward."""

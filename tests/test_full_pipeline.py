@@ -246,3 +246,52 @@ def test_full_pipeline_with_meshed_extractor_matches(rng):
                 results[1].scores[name][k], results[0].scores[name][k],
                 atol=1e-4, err_msg=f"{name}:{k}",
             )
+
+
+def test_device_bank_pipeline_matches_host(rng):
+    """Round-5 directive #3: config-4 with the device-resident bank assembly
+    (bank_impl='device', extraction outputs never fetched) produces EXACTLY
+    the host-assembled scores when given the same stats. With stats=None the
+    device path self-normalizes via the f32 stream-stats fast path — scores
+    must then agree to well inside the parity budget."""
+    extractor = _stub_single_person_detect(tiny_extractor())
+    dims_raw = {"vit": 32, "global": 9, "pose": 207, "beta": 10}
+    dims_diff = {"vit": 32, "global": 3, "pose": 69, "beta": 10}
+    cfg = EncoderConfig.create(
+        dims_raw, dims_diff, d_model=32, time_layers=1, time_heads=4
+    )
+    model, params = init_encoder(cfg, jax.random.key(0), clip_len=8)
+    frames_by_video = {
+        f"GenX_JumpingJack_{i:02d}": rng.integers(
+            0, 255, size=(12, 48, 40, 3)
+        ).astype(np.uint8)
+        for i in range(3)
+    }
+    label_dict = {"JumpingJack": 0}
+    centroids = rng.normal(size=(1, 32)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=-1, keepdims=True)
+
+    def run(bank_impl, stats=None):
+        return score_videos_end_to_end(
+            extractor, model, params, frames_by_video, centroids, label_dict,
+            stats=stats,
+            cfg=ScoreConfig(
+                clip_len=8, stride=8, batch_size=8, bank_impl=bank_impl
+            ),
+            with_keypoints=False,
+        )
+
+    host = run("host")
+    dev = run("device", stats=host.stats)   # same stats -> bitwise bank
+    assert set(dev.scores) == set(host.scores)
+    for name in host.scores:
+        for k in ("ac", "tc"):
+            assert dev.scores[name][k] == host.scores[name][k], (name, k)
+
+    dev_self = run("device")                # f32 stream-stats fast path
+    for name in host.scores:
+        for k in ("ac", "tc"):
+            np.testing.assert_allclose(
+                dev_self.scores[name][k], host.scores[name][k],
+                atol=1e-4, err_msg=f"{name}:{k}",
+            )

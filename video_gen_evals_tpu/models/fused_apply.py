@@ -239,12 +239,19 @@ def block_kernel_forward(
         y = _conv(xin, p["stem"]["kernel"])
         if stage_fusion in ("chain", "chain2"):
             # "chain": all 4 stages, one launch — 10.5 MB resident weights
-            # force block_windows<=16. "chain2": two stages per launch —
-            # half the weights, so the full 32-window block fits.
+            # (+ the slice variant's padded scratch) force block_windows<=16.
+            # "chain2": two stages per launch — half the weights, so the full
+            # 32-window block fits. The mm_first taps drop the padded scratch
+            # entirely (round-5 directive #4), so the 4-stage chain also
+            # fits bw=32.
             groups = ((0, 1, 2, 3),) if stage_fusion == "chain" else (
                 (0, 1), (2, 3)
             )
-            bw = min(block_windows, 16 if stage_fusion == "chain" else 32)
+            bw = min(
+                block_windows,
+                16 if (stage_fusion == "chain" and conv_variant != "mm_first")
+                else 32,
+            )
             for g in groups:
                 y = fused_temporal_chain(
                     y,
@@ -254,6 +261,7 @@ def block_kernel_forward(
                     jnp.stack([p[f"block{i}"]["norm"]["bias"] for i in g]),
                     dilations=tuple(_DILATIONS[i] for i in g),
                     block_windows=bw,
+                    variant=conv_variant,
                     interpret=interpret,
                 )
             return y @ p["proj"]["kernel"]

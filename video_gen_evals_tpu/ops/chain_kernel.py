@@ -98,6 +98,77 @@ def _chain_kernel(
     out_ref[...] = y
 
 
+def _chain_kernel_mm(
+    x_ref,            # [BW, T, C] VMEM activation block
+    wh_hbm, wl_hbm,   # [2*S, K, C, C] bf16, HBM (ANY): conv1/conv2 interleaved
+    gs_ref, gb_ref,   # [S, C] VMEM
+    out_ref,          # [BW, T, C] VMEM
+    wh_vmem, wl_vmem, # scratch: [2*S, K, C, C] bf16 VMEM (resident weights)
+    sem,              # DMA semaphore (2,)
+    *, t_len: int, dilations: T.Tuple[int, ...],
+):
+    """Matmul-first chain kernel (round-5 directive #4): the round-2 chain
+    experiments lost with the slice-first taps because the padded activation
+    scratch pushed VMEM past budget at block_windows=32. This variant uses the
+    scratch-free mm_first conv (each tap's bf16_3x dot runs on the UNPADDED
+    activations; the shifted accumulation is 5 static VPU adds with zero
+    edges — see ``conv_kernel._block_kernel_high_mm``), keeping only the
+    HBM->VMEM resident-weight DMA from the chain design. Numerics identical
+    to the per-stage mm_first kernel stacked per stage."""
+    BW, _, C = x_ref.shape
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        ch = pltpu.make_async_copy(wh_hbm, wh_vmem, sem.at[0])
+        cl = pltpu.make_async_copy(wl_hbm, wl_vmem, sem.at[1])
+        ch.start()
+        cl.start()
+        ch.wait()
+        cl.wait()
+
+    dn = (((1,), (0,)), ((), ()))
+    d = lambda u, v: jax.lax.dot_general(
+        u, v, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    def conv5(src, s2, dilation):
+        a = src.reshape(BW * t_len, C)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = None
+        for j in range(_K):
+            o = (j - _K // 2) * dilation      # y[t] += z[t + o]
+            if abs(o) >= t_len:
+                continue  # tap entirely outside the window: exact zero
+            z = (
+                d(a_hi, wh_vmem[s2, j])
+                + d(a_hi, wl_vmem[s2, j])
+                + d(a_lo, wh_vmem[s2, j])
+            ).reshape(BW, t_len, C)
+            if o == 0:
+                acc = z if acc is None else acc + z
+            else:
+                zp = jnp.pad(
+                    z[:, o:, :] if o > 0 else z[:, : t_len + o, :],
+                    ((0, 0), (0, o) if o > 0 else (-o, 0), (0, 0)),
+                )
+                acc = zp if acc is None else acc + zp
+        return acc
+
+    y = x_ref[...]
+    for s, dil in enumerate(dilations):
+        h = _gelu(conv5(y, 2 * s, dil))
+        h = _gelu(conv5(h, 2 * s + 1, dil) + y)
+        mu = jnp.mean(h.reshape(BW, t_len * C), axis=1).reshape(BW, 1, 1)
+        var = jnp.mean(
+            (h - mu).reshape(BW, t_len * C) ** 2, axis=1
+        ).reshape(BW, 1, 1)
+        hn = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+        y = hn * gs_ref[s][None, None, :] + gb_ref[s][None, None, :]
+    out_ref[...] = y
+
+
 def fused_temporal_chain(
     x: jnp.ndarray,          # [B, T, C] f32 post-stem activations
     w1s: jnp.ndarray,        # [S, K, C, C] f32 (conv1 per stage)
@@ -106,12 +177,17 @@ def fused_temporal_chain(
     gn_biases: jnp.ndarray,  # [S, C]
     dilations: T.Tuple[int, ...] = _DILATIONS,
     block_windows: int = 16,
+    variant: str = "slice",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """All residual conv stages of one MovementConvEncoder chain, one launch.
 
     Numerics identical to stacking ``fused_temporal_block(precision="high")``
-    per stage (same bf16_3x dots, same A&S erf GELU).
+    per stage (same bf16_3x dots, same A&S erf GELU). ``variant``: "slice"
+    (padded-scratch shifted operands) or "mm_first" (scratch-free matmul on
+    unpadded activations + shifted output accumulation — round-5 directive:
+    the mm taps remove the very scratch whose VMEM pressure forced
+    block_windows=16 in the round-2 chain experiments).
     """
     B, t_len, C = x.shape
     S = len(dilations)
@@ -119,6 +195,8 @@ def fused_temporal_chain(
         raise ValueError(f"expected {S} stage weights, got {w1s.shape[0]}")
     if B % block_windows != 0:
         raise ValueError(f"batch {B} not divisible by block {block_windows}")
+    if variant not in ("slice", "mm_first"):
+        raise ValueError(f"variant must be 'slice' or 'mm_first', got {variant!r}")
     pad_max = max(dilations) * (_K - 1) // 2
 
     # interleave per-stage conv1/conv2 and pre-split hi/lo on the host:
@@ -131,18 +209,28 @@ def fused_temporal_chain(
     whbm = pl.BlockSpec(memory_space=pltpu.ANY)
     gsp = pl.BlockSpec((S, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_chain_kernel, t_len=t_len, dilations=dilations)
+    scratch = [
+        pltpu.VMEM((2 * S, _K, C, C), jnp.bfloat16),
+        pltpu.VMEM((2 * S, _K, C, C), jnp.bfloat16),
+    ]
+    if variant == "mm_first":
+        kernel = functools.partial(
+            _chain_kernel_mm, t_len=t_len, dilations=dilations
+        )
+    else:
+        kernel = functools.partial(
+            _chain_kernel, t_len=t_len, dilations=dilations
+        )
+        scratch.append(
+            pltpu.VMEM((block_windows, t_len + 2 * pad_max, C), x.dtype)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     return pl.pallas_call(
         kernel,
         grid=(B // block_windows,),
         in_specs=[act, whbm, whbm, gsp, gsp],
         out_specs=act,
         out_shape=jax.ShapeDtypeStruct((B, t_len, C), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2 * S, _K, C, C), jnp.bfloat16),
-            pltpu.VMEM((2 * S, _K, C, C), jnp.bfloat16),
-            pltpu.VMEM((block_windows, t_len + 2 * pad_max, C), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, w_hi, w_lo, gn_scales, gn_biases)

@@ -719,6 +719,7 @@ class Extractor:
         with_keypoints: bool = False,
         upload_threads: int = 2,
         max_stream_frames: int = 2048,
+        fetch_arrays: bool = True,
     ) -> T.Tuple[
         T.Dict[str, T.Optional[T.Dict[str, np.ndarray]]],
         T.Dict[str, T.Optional[T.Dict[str, np.ndarray]]],
@@ -733,6 +734,12 @@ class Extractor:
         per stage per super-batch instead of per video. The reference
         processes one video at a time with a per-frame detector loop
         (ref ``extract_mesh.py:200-236``).
+
+        ``fetch_arrays=False`` keeps the [T, D]-sized outputs ON DEVICE
+        (per-video dicts hold jax arrays; only the tiny single/valid masks
+        are fetched to compute the keep indices) — the feed for the
+        device-resident bank assembly (``data/device_bank.py``), where the
+        features never round-trip through the ~55 MB/s tunnel.
 
         Returns ``(mesh_by_name, kp_by_name)``; a rejected video maps to
         None in both.
@@ -763,13 +770,15 @@ class Extractor:
                     self._stream_one_batch(
                         batch, H, W, with_keypoints, pool,
                         mesh_by_name, kp_by_name,
+                        fetch_arrays=fetch_arrays,
                     )
         finally:
             pool.shutdown(wait=True)
         return mesh_by_name, kp_by_name
 
     def _stream_one_batch(
-        self, batch, H, W, with_keypoints, pool, mesh_by_name, kp_by_name
+        self, batch, H, W, with_keypoints, pool, mesh_by_name, kp_by_name,
+        fetch_arrays: bool = True,
     ) -> None:
         names = [n for n, _ in batch]
         lengths = [f.shape[0] for _, f in batch]
@@ -796,11 +805,16 @@ class Extractor:
                 fetch=False,
             )
             kp120, kvalid = self._kp_post(kps134, sc134, wh)
-            kp120 = np.asarray(kp120)
+            if fetch_arrays:
+                kp120 = np.asarray(kp120)
+            # the masks are tiny and drive host-side keep-index construction
+            # either way; only the [T, D]-sized arrays stay device-resident
+            # in the no-fetch mode
             kvalid = self._kp_frame_mask(kvalid, present)
 
         single_np = np.asarray(single)
-        out = jax.tree_util.tree_map(np.asarray, out)
+        if fetch_arrays:
+            out = jax.tree_util.tree_map(np.asarray, out)
         offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
         for i, name in enumerate(names):
             lo, hi = offs[i], offs[i + 1]

@@ -121,14 +121,36 @@ def score_videos_end_to_end(
     cfg: T.Optional[ScoreConfig] = None,
     with_keypoints: bool = True,
     encoder: T.Optional[WindowEncoder] = None,
+    phase_times: T.Optional[T.Dict[str, float]] = None,
 ) -> FullPipelineResult:
     """Decode-to-scores in one call: batched extraction (detector -> crops ->
     mesh net [+ pose net]) -> in-memory feature bank -> encoder -> AC/TC.
 
     Pass a prebuilt ``encoder`` (WindowEncoder on the same model/params/
     batch geometry) to amortize its jit trace across calls — a scoring
-    service keeps it warm; rebuilding per call costs seconds of retrace."""
+    service keeps it warm; rebuilding per call costs seconds of retrace.
+
+    ``phase_times``: optional dict that receives coarse wall-clock phase
+    seconds (``extract_s`` / ``bank_s`` / ``score_s``). Each phase already
+    ends on host-materialized data (the streamed extraction fetches per
+    super-batch, the bank is host numpy, the score sweep ends in one
+    ``device_get``), so the boundaries are real completion points, not
+    ``block_until_ready`` guesses (which the tunnel does not honor)."""
+    import time as _time
+
     cfg = cfg or ScoreConfig()
+    _t0 = _time.perf_counter()
+    # device-resident bank assembly (round-5): extraction outputs stay on
+    # device, diffs/normalize/pad/concat run there, and the finished bank
+    # feeds the scoring sweep with zero tunnel round-trips for the [T, D]-
+    # sized features (data/device_bank.py). "auto" = on for TPU backends.
+    import jax
+
+    if cfg.bank_impl not in ("host", "device", "auto"):
+        raise ValueError(f"unknown bank_impl {cfg.bank_impl!r}")
+    bank_device = cfg.bank_impl == "device" or (
+        cfg.bank_impl == "auto" and jax.default_backend() == "tpu"
+    )
     arrays_list: T.List[T.Dict[str, np.ndarray]] = []
     names: T.List[str] = []
     rejected: T.List[str] = []
@@ -137,7 +159,7 @@ def score_videos_end_to_end(
     # host fetch per stage per super-batch) — see process_videos_streamed
     items = list(frames_by_video.items())
     mesh_by_name, kp_by_name = extractor.process_videos_streamed(
-        items, with_keypoints=with_keypoints
+        items, with_keypoints=with_keypoints, fetch_arrays=not bank_device
     )
     for name, _frames in items:
         mesh = mesh_by_name[name]
@@ -153,6 +175,10 @@ def score_videos_end_to_end(
         arrays_list.append(arrays)
         names.append(name)
 
+    if phase_times is not None:
+        phase_times["extract_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+
     if not arrays_list:
         return FullPipelineResult({}, rejected, stats or ModalityStats({}, {}, {}, {}))
 
@@ -162,9 +188,19 @@ def score_videos_end_to_end(
         common &= set(a)
     arrays_list = [{m: a[m] for m in a if m in common} for a in arrays_list]
 
-    diffs_list = [compute_modality_diffs(a) for a in arrays_list]
-    if stats is None:
-        stats = stats_from_arrays(arrays_list, diffs_list=diffs_list)
+    diffs_list = None
+    if bank_device:
+        if stats is None:
+            # f32 device accumulation + f64 host finalize — the documented
+            # fast-path deviation from the reference's all-f64 pass (the
+            # parity configuration always passes precomputed host stats)
+            from ..data.device_bank import stream_stats
+
+            stats = stream_stats(arrays_list)
+    else:
+        diffs_list = [compute_modality_diffs(a) for a in arrays_list]
+        if stats is None:
+            stats = stats_from_arrays(arrays_list, diffs_list=diffs_list)
     used_mods = [m for m in stats.modalities if m in common]
     stats = ModalityStats(
         {m: stats.mean_raw[m] for m in used_mods},
@@ -182,8 +218,13 @@ def score_videos_end_to_end(
         [c is not None and label_dict[c] < len(centroids) for c in classes]
     )
     bank_classes = [c or "" for c in classes]
-    bank = bank_from_arrays(arrays_list, names, bank_classes, stats,
-                            diffs_list=diffs_list)
+    if bank_device:
+        from ..data.device_bank import build_bank_device
+
+        bank = build_bank_device(arrays_list, names, bank_classes, stats)
+    else:
+        bank = bank_from_arrays(arrays_list, names, bank_classes, stats,
+                                diffs_list=diffs_list)
     manifest = VideoManifest(
         [
             VideoItem(cls=c, name=n, path="", length=a["vit"].shape[0], vit_dim=a["vit"].shape[1])
@@ -191,6 +232,9 @@ def score_videos_end_to_end(
         ]
     )
     windows = enumerate_windows(manifest, cfg.clip_len, cfg.stride)
+    if phase_times is not None:
+        phase_times["bank_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
     if encoder is None:
         encoder = WindowEncoder(
             model, params, cfg.batch_size, cfg.clip_len, cfg.matmul_precision
@@ -219,6 +263,8 @@ def score_videos_end_to_end(
             jnp.asarray(centroids),
         )
         ac_v, tc_v = np.asarray(ac_j), np.asarray(tc_j)
+    if phase_times is not None:
+        phase_times["score_s"] = _time.perf_counter() - _t0
     scores = {}
     for i, n in enumerate(names):
         entry: T.Dict[str, float] = {"tc": float(tc_v[i])}

@@ -67,6 +67,12 @@ class ScoreConfig:
     # picks the fused Pallas stage kernel + burst gather on single-chip TPU
     encoder_impl: str = "auto"
     gather_impl: str = "auto"
+    # in-memory bank assembly for the end-to-end pipeline
+    # (pipelines/full.py): "host" (numpy, reference-exact f64 stats when
+    # self-normalizing), "device" (device-resident assembly,
+    # data/device_bank.py — extraction features never round-trip through
+    # the tunnel), "auto" = device on TPU backends
+    bank_impl: str = "auto"
 
 
 class WindowEncoder:
