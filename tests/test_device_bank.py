@@ -115,3 +115,48 @@ def test_stream_stats_close_to_host_f64(videos):
             d = getattr(dev, attr)[m]
             scale = np.maximum(np.abs(h), 1e-3)
             assert np.max(np.abs(h - d) / scale) < 1e-4, (m, attr)
+
+
+def test_file_backed_device_impl_matches_host(rng, tmp_path):
+    """build_feature_bank(impl='device') over a real fixture tree is bitwise
+    the host build; the cached variant persists a host copy but returns the
+    device-built bank."""
+    from video_gen_evals_tpu.data import (
+        ModalityPaths,
+        build_feature_bank,
+        build_feature_bank_cached,
+        compute_stats,
+        scan_class_tree,
+    )
+    from video_gen_evals_tpu.data.fixtures import make_fixture_tree
+
+    mesh_root, kp_root = make_fixture_tree(
+        str(tmp_path), ["JumpingJack", "PushUps"], videos_per_class=2,
+        frames=(40, 25), kp_shorter_by=2, seed=3,
+    )
+    manifest = scan_class_tree(mesh_root)
+    paths = ModalityPaths(keypoint_dir=kp_root, layout="real")
+    stats = compute_stats(manifest.items, paths)
+
+    host = build_feature_bank(manifest.items, paths, stats, min_rows=40)
+    dev = build_feature_bank(
+        manifest.items, paths, stats, min_rows=40, impl="device"
+    )
+    np.testing.assert_array_equal(np.asarray(dev.bank), host.bank)
+    np.testing.assert_array_equal(dev.offsets, host.offsets)
+    np.testing.assert_array_equal(dev.row_limit, host.row_limit)
+
+    cache = str(tmp_path / "bank.npz")
+    dev_cached = build_feature_bank_cached(
+        manifest.items, paths, stats, min_rows=40, cache_path=cache,
+        impl="device",
+    )
+    np.testing.assert_array_equal(np.asarray(dev_cached.bank), host.bank)
+    # second call loads the persisted host copy (fingerprint hit)
+    from video_gen_evals_tpu.data.features import load_feature_bank
+
+    reloaded = load_feature_bank(cache)
+    np.testing.assert_array_equal(reloaded.bank, host.bank)
+
+    with pytest.raises(ValueError, match="unknown bank impl"):
+        build_feature_bank(manifest.items, paths, stats, impl="gpu")

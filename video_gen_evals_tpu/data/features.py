@@ -348,7 +348,18 @@ def build_feature_bank(
     stats: "ModalityStats",
     modalities: T.Optional[T.Sequence[str]] = None,
     min_rows: int = 40,
+    impl: str = "host",
 ) -> FeatureBank:
+    """Build the normalized window bank for ``items``.
+
+    ``impl``: "host" (numpy per-video assembly) or "device" — the raw
+    modality arrays are uploaded once and the whole delta/normalize/pad/
+    concat assembly runs on device (``data/device_bank.py``; bitwise-equal
+    on the CPU backend, tested), leaving the finished bank device-resident
+    for the scoring sweep with no second transfer.
+    """
+    if impl not in ("host", "device"):
+        raise ValueError(f"unknown bank impl {impl!r}")
     mods = list(modalities) if modalities is not None else stats.modalities
     # mesh npz files decode through the native C++ thread pool (mmap +
     # parallel inflate); Nones (unopenable files) surface as clear errors
@@ -359,6 +370,29 @@ def build_feature_bank(
     for it, z in zip(items, npzs):
         if z is None:
             raise IOError(f"could not open mesh npz '{it.path}'")
+    if impl == "device":
+        from .device_bank import build_bank_device
+
+        arrays_list = [
+            load_video_arrays(it, paths, strict_kp=True, npz=z)
+            for it, z in zip(items, npzs)
+        ]
+        if modalities is not None:
+            from .stats import ModalityStats as _MS
+
+            stats = _MS(
+                {m: stats.mean_raw[m] for m in mods},
+                {m: stats.std_raw[m] for m in mods},
+                {m: stats.mean_diff[m] for m in mods},
+                {m: stats.std_diff[m] for m in mods},
+            )
+        return build_bank_device(
+            arrays_list,
+            [it.name for it in items],
+            [it.cls for it in items],
+            stats,
+            min_rows=min_rows,
+        )
     feats = [
         compute_video_features(it, paths, stats, mods, min_rows=min_rows, npz=z)
         for it, z in zip(items, npzs)
@@ -626,6 +660,7 @@ def build_feature_bank_cached(
     modalities: T.Optional[T.Sequence[str]] = None,
     min_rows: int = 40,
     cache_path: T.Optional[str] = None,
+    impl: str = "host",
 ) -> FeatureBank:
     """``build_feature_bank`` with an on-disk cache.
 
@@ -662,8 +697,18 @@ def build_feature_bank_cached(
                     return bank
         except Exception:
             pass  # unreadable/stale cache: rebuild below
-    bank = build_feature_bank(items, paths, stats, modalities, min_rows=min_rows)
+    bank = build_feature_bank(
+        items, paths, stats, modalities, min_rows=min_rows, impl=impl
+    )
     if cache_path:
         os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
-        save_feature_bank(bank, cache_path, fingerprint=fp)
+        # device-built banks pay ONE fetch for the persistence copy (the
+        # only transfer the device path makes); the RETURNED bank stays
+        # device-resident for the scoring sweep
+        to_save = (
+            dataclasses.replace(bank, bank=np.asarray(bank.bank))
+            if impl == "device"
+            else bank
+        )
+        save_feature_bank(to_save, cache_path, fingerprint=fp)
     return bank

@@ -426,6 +426,14 @@ class WindowEncoder:
         return np.asarray(seq_sum), np.asarray(tc_sum), np.asarray(count)
 
 
+def _resolve_bank_impl(cfg: ScoreConfig) -> str:
+    if cfg.bank_impl == "auto":
+        return "device" if jax.default_backend() == "tpu" else "host"
+    if cfg.bank_impl not in ("host", "device"):
+        raise ValueError(f"unknown bank_impl {cfg.bank_impl!r}")
+    return cfg.bank_impl
+
+
 def build_real_centroids(
     encoder: WindowEncoder,
     real_manifest: VideoManifest,
@@ -439,7 +447,7 @@ def build_real_centroids(
     label_dict = real_manifest.label_dict()
     bank = build_feature_bank_cached(
         train_ds.items, paths, stats, min_rows=cfg.clip_len + 8,
-        cache_path=bank_cache,
+        cache_path=bank_cache, impl=_resolve_bank_impl(cfg),
     )
     windows = enumerate_windows(train_ds, cfg.clip_len, cfg.stride)
     # per-class sums accumulate on device along the sweep; only the [C, D]
@@ -602,7 +610,7 @@ def score_generated(
     )
     gen_bank = build_feature_bank_cached(
         gen_manifest.items, gen_paths, stats, min_rows=cfg.clip_len + 8,
-        cache_path=cache(gen_cache_name),
+        cache_path=cache(gen_cache_name), impl=_resolve_bank_impl(cfg),
     )
     combined = score_bank(encoder, gen_bank, gen_manifest, centroids, label_dict, cfg)
 
