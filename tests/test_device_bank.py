@@ -91,6 +91,20 @@ def test_device_bank_feeds_encoder_identically(videos, rng):
     np.testing.assert_array_equal(tc_d, tc_h)
 
 
+def test_device_bank_with_shared_streams_bitwise(videos):
+    """Passing the StreamSet from stream_stats (the serve-path fast route)
+    must produce the identical bank to recomputing streams in-place."""
+    names = [f"v{i}" for i in range(len(videos))]
+    classes = ["a", "b", "a"]
+    stats = stats_from_arrays(videos)
+    _dev_stats, streams = stream_stats(videos)
+    direct = build_bank_device(videos, names, classes, stats, min_rows=40)
+    shared = build_bank_device(
+        videos, names, classes, stats, min_rows=40, streams=streams
+    )
+    np.testing.assert_array_equal(np.asarray(shared.bank), np.asarray(direct.bank))
+
+
 def test_device_bank_rejects_missing_and_empty(videos):
     stats = stats_from_arrays(videos)
     broken = [dict(videos[0]), dict(videos[1])]
@@ -107,8 +121,10 @@ def test_stream_stats_close_to_host_f64(videos):
     """f32 device accumulation vs the reference-exact f64 host path: the
     documented fast-path deviation must stay ~1e-5 relative."""
     host = stats_from_arrays(videos)
-    dev = stream_stats(videos)
+    dev, streams = stream_stats(videos)
     assert dev.modalities == host.modalities
+    # the returned StreamSet is reusable by build_bank_device (one compute)
+    assert set(streams.streams) == set(host.modalities)
     for m in host.modalities:
         for attr in ("mean_raw", "std_raw", "mean_diff", "std_diff"):
             h = getattr(host, attr)[m]

@@ -81,6 +81,56 @@ def _stream_delta(m: str, X: jnp.ndarray, start_mask: jnp.ndarray) -> jnp.ndarra
     return jnp.where(start_mask[:, None], jnp.zeros((), d.dtype), d)
 
 
+_stream_delta_jit = jax.jit(_stream_delta, static_argnums=(0,))
+
+
+def _delta_dispatch(m: str, X: jnp.ndarray, start_mask: jnp.ndarray):
+    """Eager on CPU (bitwise vs the host builder's op-by-op order — the
+    equivalence tests pin the CPU backend); ONE jitted program per modality
+    elsewhere: the rotation/Procrustes chains are dozens of primitives, and
+    at ~1.6 ms per chained tunnel dispatch the eager form costs ~0.1 s per
+    sweep before any math runs (measured round 5: device bank_s 0.68 s vs
+    host 0.14 s, half of it dispatch + duplicated delta work)."""
+    if jax.default_backend() == "cpu":
+        return _stream_delta(m, X, start_mask)
+    return _stream_delta_jit(m, X, start_mask)
+
+
+class StreamSet(T.NamedTuple):
+    """Concatenated per-modality streams + diffs, shared by ``stream_stats``
+    and ``build_bank_device`` so the serve path computes them exactly once."""
+
+    mods: T.Tuple[str, ...]
+    lengths: T.List[T.Dict[str, int]]
+    streams: T.Dict[str, jnp.ndarray]
+    diffs: T.Dict[str, jnp.ndarray]
+
+
+def build_streams(
+    arrays_list: T.Sequence[T.Dict[str, T.Any]],
+    mods: T.Sequence[str],
+) -> StreamSet:
+    """Concat every video's [T, D] arrays into one device stream per modality
+    and compute the diff streams (per-video semantics restored by the
+    start-row mask)."""
+    lengths = [{m: int(a[m].shape[0]) for m in mods} for a in arrays_list]
+    streams = {
+        m: jnp.concatenate(
+            [jnp.asarray(a[m], jnp.float32).reshape(a[m].shape[0], -1)
+             for a in arrays_list]
+        )
+        for m in mods
+    }
+    diffs = {}
+    for m in mods:
+        L = np.array([lm[m] for lm in lengths], np.int64)
+        off = np.concatenate([[0], np.cumsum(L)[:-1]])
+        sm = np.zeros(int(L.sum()), bool)
+        sm[off] = True
+        diffs[m] = _delta_dispatch(m, streams[m], jnp.asarray(sm))
+    return StreamSet(tuple(mods), lengths, streams, diffs)
+
+
 @functools.partial(jax.jit, static_argnames=("mods",))
 def _assemble_jit(mods, streams, diffs, src_raw, src_diff, pad_diff,
                   mean_raw, std_raw, mean_diff, std_diff):
@@ -180,6 +230,7 @@ def build_bank_device(
     classes: T.Sequence[str],
     stats: "ModalityStats",
     min_rows: int = 40,
+    streams: T.Optional[StreamSet] = None,
 ) -> FeatureBank:
     """Device-resident equivalent of ``pipelines.full.bank_from_arrays``.
 
@@ -211,26 +262,19 @@ def build_bank_device(
         raise ValueError(
             f"zero-frame modalities (truncated extraction?): {empty[:4]}"
         )
-    lengths = [{m: int(a[m].shape[0]) for m in mods} for a in arrays_list]
+    # canonical stats order may differ from the StreamSet's dict order; the
+    # streams are keyed by modality so any superset is reusable as-is
+    if streams is None or not all(m in streams.streams for m in mods):
+        streams = build_streams(arrays_list, mods)
+    lengths = streams.lengths
     n_rows, offsets, row_limit = _bank_geometry(lengths, mods, min_rows)
-    src_raw, src_diff, pad_diff, start_mask = _gather_indices(
+    src_raw, src_diff, pad_diff, _start_mask = _gather_indices(
         lengths, mods, n_rows
     )
-    streams = {
-        m: jnp.concatenate(
-            [jnp.asarray(a[m], jnp.float32).reshape(a[m].shape[0], -1)
-             for a in arrays_list]
-        )
-        for m in mods
-    }
-    diffs = {
-        m: _stream_delta(m, streams[m], jnp.asarray(start_mask[m]))
-        for m in mods
-    }
     bank_dev = _assemble_jit(
         tuple(mods),
-        streams,
-        diffs,
+        streams.streams,
+        streams.diffs,
         {m: jnp.asarray(src_raw[m]) for m in mods},
         {m: jnp.asarray(src_diff[m]) for m in mods},
         {m: jnp.asarray(pad_diff[m]) for m in mods},
@@ -258,32 +302,25 @@ def build_bank_device(
 def stream_stats(
     arrays_list: T.Sequence[T.Dict[str, T.Any]],
     eps: float = 1e-6,
-) -> "ModalityStats":
+    streams: T.Optional[StreamSet] = None,
+) -> T.Tuple["ModalityStats", StreamSet]:
     """Device-accumulated normalization stats (f32 sums, f64 host finalize).
 
     Fast path for self-normalized sweeps (config-4 bench mode). NOT the
-    parity stats path — see the module docstring.
+    parity stats path — see the module docstring. Returns the stats AND the
+    :class:`StreamSet` it computed them from, so the caller can hand the
+    same streams/diffs to :func:`build_bank_device` (the serve path was
+    measured paying the whole delta chain twice without this — round-5
+    device-bank A/B).
     """
     from .stats import ModalityStats
 
     mods = [m for m in arrays_list[0] if all(m in a for a in arrays_list)]
-    lengths = [{m: int(a[m].shape[0]) for m in mods} for a in arrays_list]
-    streams = {
-        m: jnp.concatenate(
-            [jnp.asarray(a[m], jnp.float32).reshape(a[m].shape[0], -1)
-             for a in arrays_list]
-        )
-        for m in mods
-    }
-    diffs = {}
-    for m in mods:
-        L = np.array([lm[m] for lm in lengths], np.int64)
-        off = np.concatenate([[0], np.cumsum(L)[:-1]])
-        sm = np.zeros(int(L.sum()), bool)
-        sm[off] = True
-        diffs[m] = _stream_delta(m, streams[m], jnp.asarray(sm))
+    if streams is None or not all(m in streams.streams for m in mods):
+        streams = build_streams(arrays_list, mods)
+    lengths = streams.lengths
     sums = jax.device_get(
-        _stream_stats_jit(tuple(mods), streams, diffs)
+        _stream_stats_jit(tuple(mods), streams.streams, streams.diffs)
     )
     from .stats import MODALITIES
 
@@ -301,4 +338,4 @@ def stream_stats(
             var = ss / max(1, n) - mean**2
             mean_d[m] = mean.astype(np.float32)
             std_d[m] = np.sqrt(np.maximum(var, 0.0) + eps).astype(np.float32)
-    return stats
+    return stats, streams

@@ -140,17 +140,20 @@ def score_videos_end_to_end(
 
     cfg = cfg or ScoreConfig()
     _t0 = _time.perf_counter()
-    # device-resident bank assembly (round-5): extraction outputs stay on
-    # device, diffs/normalize/pad/concat run there, and the finished bank
-    # feeds the scoring sweep with zero tunnel round-trips for the [T, D]-
-    # sized features (data/device_bank.py). "auto" = on for TPU backends.
+    # device-resident bank assembly (round-5, data/device_bank.py):
+    # extraction outputs stay on device, diffs/normalize/pad/concat run
+    # there. Measured A/B on the tunneled v5e-1 (BENCH_NOTES round 5):
+    # the HOST builder wins at both 8- and 16-video geometry — its per-
+    # super-batch fetches overlap extraction dispatch and the ~6-12 MB
+    # assembly/upload is cheaper than the device path's per-video stream
+    # concat + stats barrier, a gap that GROWS with video count. "auto"
+    # therefore resolves to host; "device" stays selectable (equivalence-
+    # tested) for topologies where transfers are the binding cost.
     import jax
 
     if cfg.bank_impl not in ("host", "device", "auto"):
         raise ValueError(f"unknown bank_impl {cfg.bank_impl!r}")
-    bank_device = cfg.bank_impl == "device" or (
-        cfg.bank_impl == "auto" and jax.default_backend() == "tpu"
-    )
+    bank_device = cfg.bank_impl == "device"
     arrays_list: T.List[T.Dict[str, np.ndarray]] = []
     names: T.List[str] = []
     rejected: T.List[str] = []
@@ -189,14 +192,17 @@ def score_videos_end_to_end(
     arrays_list = [{m: a[m] for m in a if m in common} for a in arrays_list]
 
     diffs_list = None
+    bank_streams = None
     if bank_device:
         if stats is None:
             # f32 device accumulation + f64 host finalize — the documented
             # fast-path deviation from the reference's all-f64 pass (the
-            # parity configuration always passes precomputed host stats)
+            # parity configuration always passes precomputed host stats).
+            # The returned StreamSet feeds the bank build below so the
+            # delta chains run exactly once per sweep.
             from ..data.device_bank import stream_stats
 
-            stats = stream_stats(arrays_list)
+            stats, bank_streams = stream_stats(arrays_list)
     else:
         diffs_list = [compute_modality_diffs(a) for a in arrays_list]
         if stats is None:
@@ -221,7 +227,9 @@ def score_videos_end_to_end(
     if bank_device:
         from ..data.device_bank import build_bank_device
 
-        bank = build_bank_device(arrays_list, names, bank_classes, stats)
+        bank = build_bank_device(
+            arrays_list, names, bank_classes, stats, streams=bank_streams
+        )
     else:
         bank = bank_from_arrays(arrays_list, names, bank_classes, stats,
                                 diffs_list=diffs_list)

@@ -427,8 +427,14 @@ class WindowEncoder:
 
 
 def _resolve_bank_impl(cfg: ScoreConfig) -> str:
+    # Measured on the tunneled v5e-1 (benchmarks/probe_bank_impl.py, 16
+    # videos x 64 frames, flagship dims): host 0.28 s vs device 0.43 s per
+    # warm build — the host assembler + one bulk bank upload beats the
+    # device path's per-video stream dispatch even though the device path
+    # moves ~half the bytes. "auto" = host; "device" stays selectable
+    # (bitwise-equivalence-tested) for directly-attached TPU hosts.
     if cfg.bank_impl == "auto":
-        return "device" if jax.default_backend() == "tpu" else "host"
+        return "host"
     if cfg.bank_impl not in ("host", "device"):
         raise ValueError(f"unknown bank_impl {cfg.bank_impl!r}")
     return cfg.bank_impl
