@@ -206,6 +206,141 @@ def main() -> None:
             }
             emit(tag="arm", arm=arm, dAC=float(dac), dTC=float(dtc), **agg)
 
+    # ------------------------------------------------------------------
+    # Fixed-proposal ROI-head numerics (selection-free; round-5 addendum).
+    #
+    # With random weights the end-to-end arms above live in an argmax-flip
+    # regime (score near-ties everywhere -> ~94% of frames pick a DIFFERENT
+    # detection per precision arm), so their dAC/dTC measure selection
+    # noise, not numerics. This section pins the proposals: identical
+    # boxes/levels into ``FasterRCNN.box_forward`` per arm, production
+    # DefaultPredictor preprocessing (shortest-edge-800 BGR canvas), and
+    # compares (a) person-class REFINED boxes after ``apply_deltas`` —
+    # drift relative to box size, against the PARITY box-sensitivity
+    # threshold (±1% of size costs 2-6e-2 AC/TC), and (b) raw class-logit
+    # drift — a selection flip requires logit drift to exceed the score
+    # MARGIN between the top two detections, so the two numbers bound the
+    # trained-weight flip risk without random-weight tie artifacts.
+    if os.environ.get("STUDY_ROIHEAD", "1") == "1":
+        import jax
+
+        from video_gen_evals_tpu.models.rcnn import (
+            PIXEL_MEAN_BGR,
+            apply_deltas,
+            pad_to_divisible,
+            resize_shortest_edge,
+        )
+        from video_gen_evals_tpu.ops.image import resize_pil_matmul
+        from video_gen_evals_tpu.ops.roi_align import assign_fpn_levels
+
+        rc = ex_high.cfg.rcnn
+        model = ex_high.rcnn
+        rparams = ex_high.params["rcnn"]
+
+        # 8 frames from distinct videos; GT person boxes + jittered copies
+        frames_list, boxes_list = [], []
+        rng2 = np.random.default_rng(17)
+        for vid, (frames, gt) in list(videos.items())[:8]:
+            t = int(rng2.integers(0, len(frames)))
+            frames_list.append(frames[t])
+            b = gt[t].astype(np.float32)
+            w, h = b[2] - b[0], b[3] - b[1]
+            jit_boxes = [b]
+            for _ in range(7):
+                j = b + rng2.uniform(-0.08, 0.08, 4) * np.array([w, h, w, h])
+                jit_boxes.append(j.astype(np.float32))
+            boxes_list.append(np.stack(jit_boxes))
+        frames_u8 = np.stack(frames_list)          # [8, H, W, 3]
+        B = frames_u8.shape[0]
+
+        rh, rw = resize_shortest_edge((H, W), rc.min_size_test, rc.max_size_test)
+        ch_, cw_ = pad_to_divisible((rh, rw))
+        sx, sy = rw / W, rh / H
+        boxes_canvas = np.stack(boxes_list) * np.array(
+            [sx, sy, sx, sy], np.float32
+        )                                          # [8, 8, 4] canvas coords
+        levels = np.asarray(
+            assign_fpn_levels(jnp.asarray(boxes_canvas.reshape(-1, 4)))
+        ).reshape(B, -1)
+
+        def canvas(frames_f32):
+            resized = jax.vmap(
+                lambda f: resize_pil_matmul(f, (rh, rw))
+            )(frames_f32)
+            bgr = resized[..., ::-1] - jnp.asarray(PIXEL_MEAN_BGR)
+            return jnp.pad(
+                bgr, ((0, 0), (0, ch_ - rh), (0, cw_ - rw), (0, 0))
+            )
+
+        def roihead(prec: str, param_dtype=None):
+            p = rparams
+            f32 = jnp.asarray(frames_u8, jnp.float32)
+            if param_dtype is not None:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(param_dtype)
+                    if a.dtype == jnp.float32 else a, p
+                )
+
+            @jax.jit
+            def run(p, f32):
+                with jax.default_matmul_precision(prec):
+                    cv = canvas(f32)
+                    return model.apply(
+                        {"params": p}, cv, jnp.asarray(boxes_canvas),
+                        jnp.asarray(levels), method=model.box_forward,
+                    )
+            cls_logits, deltas = run(p, f32)
+            return np.asarray(cls_logits, np.float64), np.asarray(
+                deltas, np.float64
+            )
+
+        cls_hi, del_hi = roihead("high")
+        # person = class 0; refined person boxes via the production
+        # Box2BoxTransform weights
+        def person_boxes_refined(deltas):
+            d = deltas.reshape(B, -1, deltas.shape[-1] // 4, 4)[:, :, 0, :]
+            return np.asarray(
+                apply_deltas(
+                    jnp.asarray(d), jnp.asarray(boxes_canvas),
+                    rc.box_reg_weights,
+                )
+            )
+
+        ref_boxes = person_boxes_refined(del_hi)
+        size = np.maximum(
+            np.stack(
+                [
+                    boxes_canvas[..., 2] - boxes_canvas[..., 0],
+                    boxes_canvas[..., 3] - boxes_canvas[..., 1],
+                ],
+                axis=-1,
+            ),
+            1.0,
+        )                                           # [8, 8, 2]
+        # baseline person-score margin (context for logit drift): gap
+        # between the best and second-best PERSON logit across proposals
+        pl = cls_hi[..., 0]
+        srt = np.sort(pl, axis=1)
+        margin = srt[:, -1] - srt[:, -2]
+        for arm in arms:
+            if arm == "bf16_params":
+                cls_a, del_a = roihead("default", param_dtype=jnp.bfloat16)
+            else:
+                cls_a, del_a = roihead(arm)
+            arm_boxes = person_boxes_refined(del_a)
+            rel = np.abs(arm_boxes - ref_boxes) / np.repeat(size, 2, axis=-1)
+            emit(
+                tag="roihead",
+                arm=arm,
+                refined_box_rel_p50=float(np.median(rel)),
+                refined_box_rel_p95=float(np.percentile(rel, 95)),
+                refined_box_rel_max=float(rel.max()),
+                person_logit_drift_max=float(np.abs(cls_a - cls_hi).max()),
+                baseline_person_margin_p50=float(np.median(margin)),
+                n_images=int(B),
+                n_rois=int(boxes_canvas.shape[1]),
+            )
+
 
 if __name__ == "__main__":
     main()
