@@ -70,42 +70,15 @@ def build_synthetic_bank(num_videos: int, frames: int, dim: int, seed: int = 0):
     return bank, offsets, row_limit
 
 
-def _require_backend(
-    timeout_s: int = int(os.environ.get("BENCH_BACKEND_TIMEOUT", "180")),
-) -> None:
+def _require_backend() -> None:
     """Fail fast instead of hanging forever when the TPU tunnel is in an
     outage (observed: backend init blocks indefinitely — see CLAUDE.md).
-    Exits nonzero so the driver records a failure, not a timeout."""
-    import threading
+    Shared implementation: ``utils/backend_guard.py`` (bounded re-exec
+    retries, exits nonzero so the driver records a failure, not a
+    timeout)."""
+    from video_gen_evals_tpu.utils.backend_guard import require_backend
 
-    ok: list = []
-    t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok:
-        # Once jax.devices() has been attempted, the half-initialized
-        # backend client is stuck in THIS process — retrying requires a
-        # fresh process. Re-exec (bounded) so a transient tunnel blip at
-        # the moment the driver runs bench doesn't forfeit the number.
-        retries = int(os.environ.get("BENCH_INIT_RETRIES_LEFT", "2"))
-        if retries > 0:
-            print(
-                f"bench: backend init timed out after {timeout_s}s "
-                f"(tunnel outage?) — {retries} re-exec retr"
-                f"{'y' if retries == 1 else 'ies'} left, sleeping 120s",
-                file=sys.stderr,
-            )
-            sys.stderr.flush()
-            time.sleep(120)
-            env = dict(os.environ)
-            env["BENCH_INIT_RETRIES_LEFT"] = str(retries - 1)
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
-        print(
-            f"bench: jax backend init did not complete within {timeout_s}s "
-            "(TPU tunnel outage?) — aborting",
-            file=sys.stderr,
-        )
-        os._exit(3)
+    require_backend()
 
 
 def main() -> None:

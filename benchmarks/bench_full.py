@@ -59,8 +59,10 @@ def synth_videos(n: int, t: int, h: int, w: int, out_dir: str, seed: int = 0):
 
 
 def main() -> None:
+    from video_gen_evals_tpu.utils.backend_guard import require_backend
     from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
+    require_backend()
     p = argparse.ArgumentParser()
     p.add_argument("--videos", type=int, default=4)
     p.add_argument("--frames", type=int, default=64)

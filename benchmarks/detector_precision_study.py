@@ -55,9 +55,11 @@ from _study_common import (  # noqa: E402
 
 
 def main() -> None:
+    from video_gen_evals_tpu.utils.backend_guard import require_backend
     from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    require_backend()
 
     import jax
     import jax.numpy as jnp

@@ -25,9 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    from video_gen_evals_tpu.utils.backend_guard import require_backend
     from video_gen_evals_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    require_backend()
     import jax
     import numpy as np
 

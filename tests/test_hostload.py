@@ -62,3 +62,11 @@ def test_guard_labels_but_allows_by_default(monkeypatch, capsys):
     snap = hostload.guard("unit-test")
     assert snap["contended"]
     assert "NOT comparable" in capsys.readouterr().err
+
+
+def test_require_backend_returns_on_live_backend():
+    """utils/backend_guard: with a live (CPU) backend the guard returns
+    immediately instead of re-exec'ing or aborting."""
+    from video_gen_evals_tpu.utils.backend_guard import require_backend
+
+    require_backend(timeout_s=120)
