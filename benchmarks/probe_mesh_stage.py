@@ -89,29 +89,31 @@ def main() -> None:
                 antialias=cfg.vitdet_antialias,
             )
 
+    # params are jit ARGUMENTS: closing over them bakes ~2 GB of weights
+    # into the HLO as constants, which the tunnel's remote-compile endpoint
+    # rejects (broken pipe / HTTP 413 class — CLAUDE.md; bit this probe in
+    # round 5)
     @jax.jit
-    def backbone_only(crops, jitter=np.float32(0)):
+    def backbone_only(pv, crops, jitter=np.float32(0)):
         with jax.default_matmul_precision(prec):
-            tokens, _ = ex.backbone.apply(
-                {"params": params["vit"]}, crops + jitter
-            )
+            tokens, _ = ex.backbone.apply({"params": pv}, crops + jitter)
             return tokens
 
     @jax.jit
-    def head_only(tokens, jitter=np.float32(0)):
+    def head_only(ph, tokens, jitter=np.float32(0)):
         with jax.default_matmul_precision(prec):
-            return ex.head.apply({"params": params["head"]}, tokens + jitter)
+            return ex.head.apply({"params": ph}, tokens + jitter)
 
     @jax.jit
-    def full_mesh(f, b, jitter=np.float32(0)):
+    def full_mesh(pv, ph, f, b, jitter=np.float32(0)):
         with jax.default_matmul_precision(prec):
             crops = vitdet_mesh_crop(
                 f + jitter, b, out_hw=cfg.vit.img_size,
                 rescale_factor=cfg.vitdet_rescale,
                 antialias=cfg.vitdet_antialias,
             )
-            tokens, _ = ex.backbone.apply({"params": params["vit"]}, crops)
-            return ex.head.apply({"params": params["head"]}, tokens)
+            tokens, _ = ex.backbone.apply({"params": pv}, crops)
+            return ex.head.apply({"params": ph}, tokens)
 
     crops = crop_only(frames, boxes)
     t_crop = timed_pass(
@@ -120,21 +122,25 @@ def main() -> None:
     )
     print(f"crop warp      [{B}]: {t_crop*1e3:8.2f} ms  ({t_crop/B*1e3:.2f}/frame)")
 
-    tokens = backbone_only(crops)
+    tokens = backbone_only(params["vit"], crops)
     t_bb = timed_pass(
-        lambda c, jitter=np.float32(0): backbone_only(c, jitter),
+        lambda c, jitter=np.float32(0): backbone_only(
+            params["vit"], c, jitter
+        ),
         crops, fetch=lambda o: float(o[0, 0, 0]),
     )
     print(f"ViT-H backbone [{B}]: {t_bb*1e3:8.2f} ms  ({t_bb/B*1e3:.2f}/frame)")
 
     t_head = timed_pass(
-        lambda t, jitter=np.float32(0): head_only(t, jitter),
+        lambda t, jitter=np.float32(0): head_only(params["head"], t, jitter),
         tokens, fetch=lambda o: float(o["betas"][0, 0]),
     )
     print(f"SMPL head      [{B}]: {t_head*1e3:8.2f} ms  ({t_head/B*1e3:.2f}/frame)")
 
     t_full = timed_pass(
-        lambda f, b, jitter=np.float32(0): full_mesh(f, b, jitter),
+        lambda f, b, jitter=np.float32(0): full_mesh(
+            params["vit"], params["head"], f, b, jitter
+        ),
         frames, boxes, fetch=lambda o: float(o["betas"][0, 0]),
     )
     print(f"fused mesh fwd [{B}]: {t_full*1e3:8.2f} ms  ({t_full/B*1e3:.2f}/frame)")
